@@ -1,0 +1,103 @@
+"""Tests for the text-proto config parser + typed schema."""
+
+import glob
+
+import pytest
+
+from second_tpu.config import (load_pipeline_config, loads_pipeline_config,
+                               parse_text)
+
+REFERENCE_CONFIGS = sorted(
+    glob.glob("/root/reference/second/configs/**/*.config", recursive=True))
+
+CANONICAL = ("/root/reference/second/configs/twostage_iou/"
+             "server_2st_fusion_test.fhd.onestage.config")
+
+
+def test_parse_scalars_and_lists():
+    node = parse_text("""
+        a: 1
+        b: 2.5
+        c: "hello"
+        d: true
+        e: [1, 2, 3]
+        f: BareEnum
+        # comment
+        msg { x: 1 }
+        msg2: { y: -1e-4 }
+    """)
+    assert node.get("a") == 1
+    assert node.get("b") == 2.5
+    assert node.get("c") == "hello"
+    assert node.get("d") is True
+    assert node.get("e") == [1, 2, 3]
+    assert node.get("f") == "BareEnum"
+    assert node.child("msg").get("x") == 1
+    assert node.child("msg2").get("y") == -1e-4
+
+
+def test_last_scalar_wins():
+    node = parse_text("steps: 100\nsteps: 200\n")
+    assert node.get("steps") == 200
+    assert node.get_all("steps") == [100, 200]
+
+
+def test_repeated_messages():
+    node = parse_text("item { v: 1 }\nitem { v: 2 }\n")
+    assert [m.get("v") for m in node.get_all("item")] == [1, 2]
+
+
+@pytest.mark.skipif(not REFERENCE_CONFIGS, reason="reference not mounted")
+def test_all_reference_configs_parse():
+    for path in REFERENCE_CONFIGS:
+        cfg = load_pipeline_config(path)
+        assert cfg.model.voxel_generator.voxel_size
+        assert cfg.train_config.steps > 0
+
+
+@pytest.mark.skipif(not REFERENCE_CONFIGS, reason="reference not mounted")
+def test_canonical_config_fields():
+    cfg = load_pipeline_config(CANONICAL)
+    m = cfg.model
+    assert m.voxel_generator.point_cloud_range == [0, -40, -3, 70.4, 40, 1]
+    assert m.voxel_generator.voxel_size == [0.05, 0.05, 0.1]
+    assert m.voxel_generator.max_number_of_points_per_voxel == 5
+    assert m.voxel_generator.grid_size == (1408, 1600, 40)
+    assert m.voxel_feature_extractor.module_class_name == "VoxelFeatureExtractorV3"
+    assert m.middle_feature_extractor.module_class_name == "SpMiddleFHD"
+    assert m.middle_feature_extractor.downsample_factor == 8
+    assert m.rpn.module_class_name == "RPN_FUSION"
+    assert m.rpn.layer_nums == [5]
+    assert m.loss.classification_loss.kind == "weighted_sigmoid_focal"
+    assert m.loss.classification_loss.alpha == 0.25
+    assert m.loss.localization_loss.sigma == 3.0
+    assert m.loss.localization_weight == 2.0
+    assert m.loss_norm_type == "NormByNumPositives"
+    assert m.use_rotate_nms is True
+    assert m.nms_pre_max_size == 1000
+    assert m.nms_post_max_size == 100
+    ag = m.target_assigner.anchor_generators
+    assert len(ag) == 1 and ag[0].class_name == "Car"
+    assert ag[0].sizes == [1.6, 3.9, 1.56]
+    assert ag[0].matched_threshold == 0.6
+    sim = m.target_assigner.region_similarity_calculator
+    assert sim.kind == "nearest_iou_similarity"
+    opt = cfg.train_config.optimizer
+    assert opt.kind == "adam_optimizer"
+    assert opt.fixed_weight_decay is True
+    assert opt.learning_rate.kind == "manual_stepping"
+    assert opt.learning_rate.rates == [1e-4, 1e-5, 1e-6]
+    assert cfg.train_config.steps == 30950  # last occurrence wins
+    assert cfg.train_input_reader.batch_size == 4
+    assert cfg.train_input_reader.max_number_of_voxels == 16000
+    assert cfg.eval_input_reader.max_number_of_voxels == 40000
+    db = cfg.train_input_reader.database_sampler
+    assert db.sample_groups[0].name_to_max_num == {"Car": 15}
+    kinds = [s.kind for s in db.database_prep_steps]
+    assert "filter_by_difficulty" in kinds
+    assert "filter_by_min_num_points" in kinds
+
+
+def test_default_config_roundtrip():
+    cfg = loads_pipeline_config("model { second { } }")
+    assert cfg.model.nms_pre_max_size == 1000
