@@ -153,7 +153,10 @@ def rotation_3d_in_axis(points, angles, axis=0):
     elif axis in (2, -1):
         rows = [[c, -s, zero], [s, c, zero], [zero, zero, one]]
     elif axis == 0:
-        rows = [[zero, c, -s], [zero, s, c], [one, zero, zero]]
+        # standard x-axis rotation (the reference's axis-0 branch at
+        # box_np_ops.py:277-279 is a mis-permuted matrix and is never called;
+        # camera boxes use axis=1, lidar axis=2)
+        rows = [[one, zero, zero], [zero, c, -s], [zero, s, c]]
     else:
         raise ValueError("axis must be 0, 1, or 2")
     rot_mat_T = np.stack([np.stack(r) for r in rows])  # [3, 3, N]

@@ -1,0 +1,102 @@
+"""Masked, static-shape non-maximum suppression — fully in-graph.
+
+TPU-native replacement for the reference's NMS stack
+(`second/core/non_max_suppression/nms_gpu.py` bitmask CUDA kernels,
+`nms_cpu.py` spconv round-trips, and the CPU↔GPU ping-pong in
+`second/pytorch/core/box_torch_ops.py:473-522`): here selection stays on
+device with fixed shapes — top-k prefilter, pairwise IoU matrix, greedy
+sequential suppression via `lax.fori_loop`, and a final top-k of survivors.
+Returns indices + validity masks instead of dynamically sized index lists.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .box_ops import rbbox2d_to_near_bbox
+from .rotated_iou import rotated_iou_matrix, standup_iou_matrix
+
+
+def _greedy_suppress(iou, valid, iou_threshold):
+    """Greedy NMS over boxes already sorted by descending score.
+
+    iou: [K, K] pairwise overlap. valid: [K] candidate mask.
+    Returns keep mask [K].
+    """
+    K = iou.shape[0]
+    over = iou > iou_threshold
+
+    def body(i, state):
+        keep, suppressed = state
+        take = valid[i] & ~suppressed[i]
+        keep = keep.at[i].set(take)
+        suppressed = suppressed | (take & over[i])
+        return keep, suppressed
+
+    keep0 = jnp.zeros((K,), bool)
+    sup0 = jnp.zeros((K,), bool)
+    keep, _ = jax.lax.fori_loop(0, K, body, (keep0, sup0))
+    return keep
+
+
+def nms(boxes, scores, valid, *, pre_max_size, post_max_size, iou_threshold,
+        rotated=True):
+    """Single-class NMS.
+
+    Args:
+        boxes: [N, 5] BEV rotated boxes (x, y, w, l, yaw) if `rotated`, else
+            already-standup [N, 4] xyxy.
+        scores: [N]; valid: [N] bool.
+    Returns:
+        indices [post_max_size] into the input arrays, keep_mask
+        [post_max_size] bool.
+    """
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    masked_scores = jnp.where(valid, scores, neg_inf)
+    k = min(pre_max_size, boxes.shape[0])
+    top_scores, top_idx = jax.lax.top_k(masked_scores, k)
+    top_valid = jnp.isfinite(top_scores)
+    cand = boxes[top_idx]
+    if rotated:
+        iou = rotated_iou_matrix(cand, cand)
+    else:
+        iou = standup_iou_matrix(cand, cand)
+    keep = _greedy_suppress(iou, top_valid, iou_threshold)
+
+    keep_scores = jnp.where(keep, top_scores, neg_inf)
+    m = min(post_max_size, k)
+    out_scores, sel = jax.lax.top_k(keep_scores, m)
+    return top_idx[sel], jnp.isfinite(out_scores)
+
+
+def nearest_nms(boxes_rbv, scores, valid, *, pre_max_size, post_max_size,
+                iou_threshold):
+    """Standup NMS over the nearest axis-aligned boxes of rotated inputs —
+    the reference's non-rotated path (`box_torch_ops.nms` after
+    `rbbox2d_to_near_bbox`)."""
+    standup = rbbox2d_to_near_bbox(boxes_rbv)
+    return nms(standup, scores, valid, pre_max_size=pre_max_size,
+               post_max_size=post_max_size, iou_threshold=iou_threshold,
+               rotated=False)
+
+
+def multiclass_nms(boxes, scores, valid, *, num_classes, pre_max_size,
+                   post_max_size, iou_threshold, score_threshold=0.0,
+                   rotated=True):
+    """Per-class NMS (reference `box_torch_ops.multiclass_nms :393-440`).
+
+    boxes: [N, 5]; scores: [N, num_classes]; valid: [N].
+    Returns indices [num_classes, post_max_size], keep [num_classes, post],
+    per-class scores [num_classes, post_max_size].
+    """
+    def one_class(cls_scores):
+        ok = valid & (cls_scores >= score_threshold)
+        idx, keep = nms(boxes, cls_scores, ok, pre_max_size=pre_max_size,
+                        post_max_size=post_max_size,
+                        iou_threshold=iou_threshold, rotated=rotated)
+        return idx, keep, cls_scores[idx]
+
+    return jax.vmap(one_class, in_axes=1)(scores)

@@ -1,0 +1,239 @@
+"""JAX device ops vs the numpy oracle: box math, voxelizer, rotated IoU, NMS."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from second_tpu.core import box_np
+from second_tpu.core.rotated_iou_np import rotated_iou as rotated_iou_np
+from second_tpu.core.voxelize_np import points_to_voxel
+from second_tpu.ops import box_ops, nms as nms_ops
+from second_tpu.ops.rotated_iou import rotated_iou_matrix, standup_iou_matrix
+from second_tpu.ops.voxelize import voxelize
+
+
+def random_boxes(rng, n):
+    return np.stack([
+        rng.uniform(-10, 10, n), rng.uniform(-10, 10, n),
+        rng.uniform(-3, 1, n), rng.uniform(0.5, 3, n),
+        rng.uniform(0.5, 6, n), rng.uniform(0.5, 3, n),
+        rng.uniform(-np.pi, np.pi, n)], axis=1).astype(np.float32)
+
+
+class TestBoxOpsParity:
+    def test_encode_matches_oracle(self):
+        rng = np.random.default_rng(0)
+        boxes, anchors = random_boxes(rng, 64), random_boxes(rng, 64)
+        want = box_np.second_box_encode(boxes.astype(np.float64),
+                                        anchors.astype(np.float64))
+        got = box_ops.second_box_encode(jnp.asarray(boxes), jnp.asarray(anchors))
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=1e-4)
+
+    def test_decode_matches_oracle(self):
+        rng = np.random.default_rng(1)
+        anchors = random_boxes(rng, 64)
+        enc = rng.normal(0, 0.1, (64, 7)).astype(np.float32)
+        want = box_np.second_box_decode(enc.astype(np.float64),
+                                        anchors.astype(np.float64))
+        got = box_ops.second_box_decode(jnp.asarray(enc), jnp.asarray(anchors))
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=1e-4)
+
+    def test_corners2d_matches_oracle(self):
+        rng = np.random.default_rng(2)
+        boxes = random_boxes(rng, 32)
+        want = box_np.center_to_corner_box2d(
+            boxes[:, :2], boxes[:, 3:5], boxes[:, 6])
+        got = box_ops.center_to_corner_box2d(
+            jnp.asarray(boxes[:, :2]), jnp.asarray(boxes[:, 3:5]),
+            jnp.asarray(boxes[:, 6]))
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    def test_corners3d_matches_oracle(self):
+        rng = np.random.default_rng(3)
+        boxes = random_boxes(rng, 32)
+        want = box_np.center_to_corner_box3d(
+            boxes[:, :3], boxes[:, 3:6], boxes[:, 6],
+            origin=(0.5, 0.5, 0.0), axis=2)
+        got = box_ops.center_to_corner_box3d(
+            jnp.asarray(boxes[:, :3]), jnp.asarray(boxes[:, 3:6]),
+            jnp.asarray(boxes[:, 6]), origin=(0.5, 0.5, 0.0), axis=2)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+    def test_nearest_bbox_matches_oracle(self):
+        rng = np.random.default_rng(4)
+        boxes = random_boxes(rng, 50)[:, [0, 1, 3, 4, 6]]
+        want = box_np.rbbox2d_to_near_bbox(boxes)
+        got = box_ops.rbbox2d_to_near_bbox(jnp.asarray(boxes))
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    def test_limit_period(self):
+        vals = np.linspace(-7, 7, 101).astype(np.float32)
+        want = box_np.limit_period(vals)
+        got = box_ops.limit_period(jnp.asarray(vals))
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    def test_lidar_camera_roundtrip(self):
+        rng = np.random.default_rng(5)
+        velo2cam = np.array([[0, -1, 0, 0.1], [0, 0, -1, -0.2],
+                             [1, 0, 0, 0.3], [0, 0, 0, 1]], np.float32)
+        r_rect = np.eye(4, dtype=np.float32)
+        pts = rng.uniform(-10, 10, (20, 3)).astype(np.float32)
+        cam = box_ops.lidar_to_camera(jnp.asarray(pts), jnp.asarray(r_rect),
+                                      jnp.asarray(velo2cam))
+        back = box_ops.camera_to_lidar(cam, jnp.asarray(r_rect),
+                                       jnp.asarray(velo2cam))
+        np.testing.assert_allclose(np.asarray(back), pts, atol=1e-4)
+
+
+class TestRotatedIoUJax:
+    def test_matches_oracle(self):
+        rng = np.random.default_rng(6)
+        b1 = random_boxes(rng, 40)[:, [0, 1, 3, 4, 6]]
+        b2 = random_boxes(rng, 30)[:, [0, 1, 3, 4, 6]]
+        want = rotated_iou_np(b1, b2)
+        got = np.asarray(rotated_iou_matrix(jnp.asarray(b1), jnp.asarray(b2)))
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+    def test_identity_diag(self):
+        rng = np.random.default_rng(7)
+        b = random_boxes(rng, 16)[:, [0, 1, 3, 4, 6]]
+        iou = np.asarray(rotated_iou_matrix(jnp.asarray(b), jnp.asarray(b)))
+        np.testing.assert_allclose(np.diag(iou), 1.0, atol=1e-3)
+
+    def test_standup_matches_oracle(self):
+        rng = np.random.default_rng(8)
+        b = rng.uniform(-5, 5, (20, 2)).astype(np.float32)
+        d = rng.uniform(0.5, 4, (20, 2)).astype(np.float32)
+        boxes = np.concatenate([b - d / 2, b + d / 2], axis=1)
+        want = box_np.iou_matrix(boxes, boxes)
+        got = np.asarray(standup_iou_matrix(jnp.asarray(boxes),
+                                            jnp.asarray(boxes)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_jit_compiles(self):
+        f = jax.jit(rotated_iou_matrix)
+        b = jnp.asarray(random_boxes(np.random.default_rng(9), 8)[:, [0, 1, 3, 4, 6]])
+        out = f(b, b)
+        assert out.shape == (8, 8)
+
+
+class TestVoxelizeJax:
+    def _run_both(self, points, max_points=5, max_voxels=1024):
+        vs = (0.5, 0.5, 0.5)
+        rng_ = (0.0, -4.0, -3.0, 8.0, 4.0, 1.0)
+        out = voxelize(jnp.asarray(points), jnp.ones(len(points), bool),
+                       voxel_size=vs, point_cloud_range=rng_,
+                       max_points=max_points, max_voxels=max_voxels)
+        ref = points_to_voxel(points, list(vs), list(rng_), max_points,
+                              max_voxels)
+        return out, ref
+
+    def test_matches_oracle_as_set(self):
+        rng = np.random.default_rng(10)
+        points = np.concatenate([
+            rng.uniform([0, -4, -3], [8, 4, 1], (500, 3)),
+            rng.uniform(-20, -10, (50, 3)),  # out of range
+        ]).astype(np.float32)
+        points = np.concatenate(
+            [points, rng.uniform(0, 1, (len(points), 1)).astype(np.float32)], 1)
+        out, (ref_voxels, ref_coords, ref_num) = self._run_both(points)
+        n = int(out["num_voxels"])
+        assert n == len(ref_coords)
+        got_coords = np.asarray(out["coords"][:n])
+        # compare as sets of (coord, count)
+        def key(c):
+            return c[:, 0] * 10000 + c[:, 1] * 100 + c[:, 2]
+        got_order = np.argsort(key(got_coords))
+        ref_order = np.argsort(key(ref_coords))
+        np.testing.assert_array_equal(got_coords[got_order],
+                                      ref_coords[ref_order])
+        np.testing.assert_array_equal(
+            np.asarray(out["num_points"][:n])[got_order], ref_num[ref_order])
+        # point sets per voxel match (same arrival order within voxel)
+        got_voxels = np.asarray(out["voxels"][:n])[got_order]
+        np.testing.assert_allclose(got_voxels, ref_voxels[ref_order], atol=0)
+
+    def test_empty_mask(self):
+        points = np.ones((16, 4), np.float32)
+        out = voxelize(jnp.asarray(points), jnp.zeros(16, bool),
+                       voxel_size=(0.5, 0.5, 0.5),
+                       point_cloud_range=(0, -4, -3, 8, 4, 1),
+                       max_points=5, max_voxels=10)
+        assert int(out["num_voxels"]) == 0
+        assert np.asarray(out["num_points"]).sum() == 0
+
+    def test_overflow_capping(self):
+        rng = np.random.default_rng(11)
+        points = rng.uniform([0, -4, -3], [8, 4, 1], (2000, 3)).astype(np.float32)
+        points = np.concatenate([points, np.zeros((2000, 1), np.float32)], 1)
+        out = voxelize(jnp.asarray(points), jnp.ones(2000, bool),
+                       voxel_size=(0.5, 0.5, 0.5),
+                       point_cloud_range=(0, -4, -3, 8, 4, 1),
+                       max_points=2, max_voxels=32)
+        assert int(out["num_voxels"]) == 32
+        assert (np.asarray(out["num_points"]) <= 2).all()
+
+
+class TestNMS:
+    def test_suppresses_overlaps(self):
+        # three boxes: 0 and 1 heavily overlap, 2 is far away
+        boxes = jnp.asarray([
+            [0.0, 0, 2, 4, 0.1],
+            [0.2, 0, 2, 4, 0.1],
+            [20.0, 0, 2, 4, 0.0],
+        ])
+        scores = jnp.asarray([0.9, 0.8, 0.7])
+        valid = jnp.ones(3, bool)
+        idx, keep = nms_ops.nms(boxes, scores, valid, pre_max_size=3,
+                                post_max_size=3, iou_threshold=0.1)
+        kept = set(np.asarray(idx)[np.asarray(keep)].tolist())
+        assert kept == {0, 2}
+
+    def test_respects_valid_mask(self):
+        boxes = jnp.asarray([[0.0, 0, 2, 4, 0.0], [20.0, 0, 2, 4, 0.0]])
+        scores = jnp.asarray([0.9, 0.8])
+        valid = jnp.asarray([False, True])
+        idx, keep = nms_ops.nms(boxes, scores, valid, pre_max_size=2,
+                                post_max_size=2, iou_threshold=0.5)
+        kept = set(np.asarray(idx)[np.asarray(keep)].tolist())
+        assert kept == {1}
+
+    def test_matches_greedy_oracle(self):
+        rng = np.random.default_rng(12)
+        n = 64
+        boxes = np.stack([
+            rng.uniform(-10, 10, n), rng.uniform(-10, 10, n),
+            rng.uniform(1, 3, n), rng.uniform(2, 5, n),
+            rng.uniform(-np.pi, np.pi, n)], 1).astype(np.float32)
+        scores = rng.uniform(0, 1, n).astype(np.float32)
+        idx, keep = nms_ops.nms(jnp.asarray(boxes), jnp.asarray(scores),
+                                jnp.ones(n, bool), pre_max_size=n,
+                                post_max_size=n, iou_threshold=0.3)
+        got = sorted(np.asarray(idx)[np.asarray(keep)].tolist())
+        # greedy numpy oracle
+        order = np.argsort(-scores)
+        iou = rotated_iou_np(boxes[order], boxes[order])
+        kept, sup = [], np.zeros(n, bool)
+        for i in range(n):
+            if sup[i]:
+                continue
+            kept.append(order[i])
+            sup |= iou[i] > 0.3
+        assert got == sorted(kept)
+
+    def test_multiclass(self):
+        boxes = jnp.asarray([
+            [0.0, 0, 2, 4, 0.0],
+            [0.1, 0, 2, 4, 0.0],
+            [20.0, 0, 2, 4, 0.0],
+        ])
+        scores = jnp.asarray([[0.9, 0.1], [0.2, 0.8], [0.6, 0.7]])
+        idx, keep, sc = nms_ops.multiclass_nms(
+            boxes, scores, jnp.ones(3, bool), num_classes=2, pre_max_size=3,
+            post_max_size=2, iou_threshold=0.1, score_threshold=0.05)
+        assert idx.shape == (2, 2)
+        c0 = set(np.asarray(idx[0])[np.asarray(keep[0])].tolist())
+        c1 = set(np.asarray(idx[1])[np.asarray(keep[1])].tolist())
+        assert c0 == {0, 2}   # box1 suppressed by box0 in class 0
+        assert c1 == {1, 2}   # box0 suppressed by box1 in class 1
