@@ -1,0 +1,94 @@
+"""Host-side example preparation + batching.
+
+Equivalent of the reference's absent `second/data/preprocess.py`
+(`prep_pointcloud`, reconstructed from call sites — SURVEY.md §2.4 /
+`second/builder/dataset_builder.py:51-87`) and the `merge_second_batch`
+collate (`train.py:68-88`) — redesigned for the on-device voxelizer: the host
+pads raw points and computes anchor targets; voxelization happens inside the
+jitted step (`train/state.py`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..core.anchors import TargetAssigner
+
+
+@dataclasses.dataclass
+class PrepConfig:
+    max_points: int = 25000          # padded point capacity per frame
+    shuffle_points: bool = False
+    training: bool = True
+
+
+class ExamplePrep:
+    """Prepares fixed-shape examples: pad points, assign anchor targets."""
+
+    def __init__(self, assigner: TargetAssigner, feature_map_size,
+                 prep_cfg: PrepConfig):
+        self._assigner = assigner
+        self._prep = prep_cfg
+        # anchor cache, like the reference's anchor_cache
+        # (`second/core/inference.py:21,57`)
+        self._anchors_dict = assigner.generate_anchors_dict(feature_map_size)
+        anchors_all = assigner.generate_anchors(feature_map_size)
+        self._anchors = anchors_all["anchors"].reshape(
+            -1, assigner.box_coder.code_size).astype(np.float32)
+
+    @property
+    def anchors(self) -> np.ndarray:
+        return self._anchors
+
+    @property
+    def num_anchors(self) -> int:
+        return self._anchors.shape[0]
+
+    def __call__(self, scene: Dict, rng: Optional[np.random.Generator] = None
+                 ) -> Dict:
+        rng = rng or np.random.default_rng()
+        points = scene["points"]
+        P = self._prep.max_points
+        if self._prep.shuffle_points or len(points) > P:
+            sel = rng.permutation(len(points))[:P]
+            points = points[sel]
+        n = len(points)
+        padded = np.zeros((P, points.shape[1]), np.float32)
+        padded[:n] = points
+        mask = np.zeros((P,), bool)
+        mask[:n] = True
+        example = {
+            "points": padded,
+            "points_mask": mask,
+            "image_idx": scene.get("image_idx", -1),
+        }
+        if self._prep.training:
+            gt_boxes = scene["gt_boxes"].astype(np.float64)
+            gt_names = scene["gt_names"]
+            gt_classes = np.array(
+                [self._assigner.classes.index(n) + 1 if n in
+                 self._assigner.classes else -1 for n in gt_names],
+                np.int32)
+            keep = gt_classes > 0
+            targets = self._assigner.assign(
+                self._anchors_dict, gt_boxes[keep],
+                gt_classes=gt_classes[keep], gt_names=gt_names[keep],
+                rng=rng)
+            example["labels"] = targets["labels"].astype(np.int32)
+            example["reg_targets"] = targets["bbox_targets"].astype(np.float32)
+            example["gt_boxes"] = scene["gt_boxes"]
+        return example
+
+    def collate(self, examples: List[Dict]) -> Dict:
+        """Stack examples + broadcast the anchor cache."""
+        batch = {}
+        for key in ("points", "points_mask", "labels", "reg_targets"):
+            if key in examples[0]:
+                batch[key] = np.stack([e[key] for e in examples])
+        batch["anchors"] = np.broadcast_to(
+            self._anchors[None], (len(examples),) + self._anchors.shape).copy()
+        batch["image_idx"] = np.array([e["image_idx"] for e in examples])
+        return batch

@@ -1,0 +1,81 @@
+"""Synthetic KITTI-like scene generator.
+
+Stands in for the KITTI dataset when no data is mounted (tests, benchmarks,
+smoke training): random car-sized boxes with interior point clusters over a
+noisy ground plane, in lidar frame with the framework's box convention
+([x, y, z_bottom, w, l, h, yaw]).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+CAR_MEAN_DIMS = np.array([1.6, 3.9, 1.56])  # w, l, h
+
+
+def sample_scene(rng: np.random.Generator, *,
+                 pc_range=(0.0, -39.68, -3.0, 69.12, 39.68, 1.0),
+                 num_cars=(3, 12), points_per_car=(60, 300),
+                 num_ground=8000, ground_z=-1.73):
+    """Returns (points [P, 4] f32, gt_boxes [G, 7] f32, gt_names [G] str)."""
+    n_cars = int(rng.integers(num_cars[0], num_cars[1] + 1))
+    boxes = []
+    for _ in range(n_cars):
+        for _attempt in range(20):
+            dims = CAR_MEAN_DIMS * rng.uniform(0.85, 1.15, 3)
+            x = rng.uniform(pc_range[0] + 3, pc_range[3] - 3)
+            y = rng.uniform(pc_range[1] + 3, pc_range[4] - 3)
+            z = ground_z + rng.uniform(-0.05, 0.05)
+            yaw = rng.uniform(-np.pi, np.pi)
+            cand = np.array([x, y, z, dims[0], dims[1], dims[2], yaw])
+            # reject heavy center overlap with existing boxes
+            if all(np.hypot(b[0] - x, b[1] - y) > 4.0 for b in boxes):
+                boxes.append(cand)
+                break
+    gt_boxes = np.array(boxes, np.float32) if boxes else \
+        np.zeros((0, 7), np.float32)
+
+    pts = []
+    for b in gt_boxes:
+        n = int(rng.integers(points_per_car[0], points_per_car[1] + 1))
+        local = rng.uniform(-0.5, 0.5, (n, 3)) * b[3:6]
+        local[:, 2] += b[5] / 2  # boxes are bottom-anchored
+        c, s = np.cos(b[6]), np.sin(b[6])
+        world_x = local[:, 0] * c - local[:, 1] * s + b[0]
+        world_y = local[:, 0] * s + local[:, 1] * c + b[1]
+        world_z = local[:, 2] + b[2]
+        pts.append(np.stack([world_x, world_y, world_z], 1))
+    ground = np.stack([
+        rng.uniform(pc_range[0], pc_range[3], num_ground),
+        rng.uniform(pc_range[1], pc_range[4], num_ground),
+        rng.normal(ground_z, 0.03, num_ground)], 1)
+    pts.append(ground)
+    points = np.concatenate(pts).astype(np.float32)
+    intensity = rng.uniform(0, 1, (len(points), 1)).astype(np.float32)
+    points = np.concatenate([points, intensity], 1)
+    gt_names = np.array(["Car"] * len(gt_boxes))
+    return points, gt_boxes, gt_names
+
+
+class SyntheticDataset:
+    """Synthetic drop-in for KittiDataset: indexable, returns raw scenes."""
+
+    def __init__(self, size=256, seed=0, **scene_kwargs):
+        self._size = size
+        self._seed = seed
+        self._scene_kwargs = scene_kwargs
+
+    def __len__(self):
+        return self._size
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(self._seed * 100003 + idx)
+        points, gt_boxes, gt_names = sample_scene(rng, **self._scene_kwargs)
+        return {
+            "points": points,
+            "gt_boxes": gt_boxes,
+            "gt_names": gt_names,
+            "image_idx": idx,
+            "calib": None,
+        }

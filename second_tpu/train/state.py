@@ -1,0 +1,137 @@
+"""Train state + jitted train/eval steps.
+
+The reference's train loop body (`second/pytorch/train.py:306-439`: CPU
+voxelization in DataLoader workers → H2D copy → forward → loss → backward →
+clip → step) is redesigned TPU-first: the host feeds *padded raw points*, and
+voxelize → VFE → middle → RPN → loss all run inside one jitted, donated
+function. BatchNorm statistics live in `batch_stats`, updated functionally.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..models.detector import DetectorSpec, compute_loss, predict
+from ..ops.voxelize import voxelize
+
+
+@dataclasses.dataclass(frozen=True)
+class VoxelizeSpec:
+    """Static on-device voxelizer parameters (from VoxelGeneratorConfig)."""
+    voxel_size: Tuple[float, float, float]
+    point_cloud_range: Tuple[float, ...]
+    max_points: int
+    max_voxels: int
+
+    @classmethod
+    def from_config(cls, vg_cfg, max_voxels):
+        return cls(voxel_size=tuple(vg_cfg.voxel_size),
+                   point_cloud_range=tuple(vg_cfg.point_cloud_range),
+                   max_points=vg_cfg.max_number_of_points_per_voxel,
+                   max_voxels=max_voxels)
+
+
+def device_voxelize(vspec: VoxelizeSpec, points, points_mask):
+    """Batched in-graph voxelization → model-ready tensors."""
+    fn = partial(voxelize, voxel_size=vspec.voxel_size,
+                 point_cloud_range=vspec.point_cloud_range,
+                 max_points=vspec.max_points, max_voxels=vspec.max_voxels)
+    out = jax.vmap(fn)(points, points_mask)
+    V = vspec.max_voxels
+    voxel_valid = jnp.arange(V)[None, :] < out["num_voxels"][:, None]
+    return {
+        "voxels": out["voxels"],
+        "num_points": out["num_points"],
+        "coordinates": jnp.where(voxel_valid[..., None], out["coords"], 0),
+        "voxel_valid": voxel_valid,
+    }
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, module, tx, rng, vspec: VoxelizeSpec, example_batch):
+        vox = device_voxelize(vspec, example_batch["points"],
+                              example_batch["points_mask"])
+        variables = module.init(rng, vox["voxels"], vox["num_points"],
+                                vox["coordinates"], vox["voxel_valid"],
+                                train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   batch_stats=batch_stats, opt_state=tx.init(params),
+                   tx=tx, apply_fn=module.apply)
+
+
+def make_train_step(spec: DetectorSpec, vspec: VoxelizeSpec):
+    """Returns a jitted train_step(state, batch) → (state, metrics).
+
+    batch: points [B, P, C], points_mask [B, P], labels [B, A],
+    reg_targets [B, A, code], anchors [B, A, code].
+    """
+
+    def loss_fn(params, batch_stats, apply_fn, batch):
+        vox = device_voxelize(vspec, batch["points"], batch["points_mask"])
+        variables = {"params": params, "batch_stats": batch_stats}
+        preds, mutated = apply_fn(
+            variables, vox["voxels"], vox["num_points"], vox["coordinates"],
+            vox["voxel_valid"], train=True, mutable=["batch_stats"])
+        loss_dict = compute_loss(spec, preds, batch["labels"],
+                                 batch["reg_targets"], batch["anchors"])
+        return loss_dict["loss"], (loss_dict, mutated["batch_stats"])
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Dict):
+        (loss, (aux, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                   state.apply_fn, batch)
+        updates, new_opt = state.tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        metrics = {
+            "loss": loss,
+            "cls_loss": aux["cls_loss_reduced"],
+            "loc_loss": aux["loc_loss_reduced"],
+            "cls_pos_loss": aux["cls_pos_loss"],
+            "cls_neg_loss": aux["cls_neg_loss"],
+            "num_pos": aux["num_pos"],
+            "grad_norm": optax.global_norm(grads),
+        }
+        if "dir_loss_reduced" in aux:
+            metrics["dir_loss"] = aux["dir_loss_reduced"]
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(spec: DetectorSpec, vspec: VoxelizeSpec):
+    """Returns a jitted eval_step(state, batch) → detections
+    (the whole voxelize→…→NMS path of BASELINE's north-star metric)."""
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: Dict):
+        vox = device_voxelize(vspec, batch["points"], batch["points_mask"])
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        preds = state.apply_fn(
+            variables, vox["voxels"], vox["num_points"], vox["coordinates"],
+            vox["voxel_valid"], train=False)
+        return predict(spec, preds, batch["anchors"],
+                       batch.get("anchors_mask"))
+
+    return eval_step
