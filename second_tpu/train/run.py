@@ -1,0 +1,252 @@
+"""Training/evaluation CLI — the framework's `train.py` equivalent.
+
+Mirrors the reference's entry points (`second/pytorch/train.py:91 train`,
+`:647 evaluate`) over the jitted TPU step functions: config → builders →
+restore-latest → train loop with periodic logging, timed checkpointing,
+crash-save (`train.py:305,434-438,505-509`), and periodic full evaluation
+with official KITTI AP.
+
+Usage:
+    python -m second_tpu.train.run train --config_path C --model_dir D \
+        [--synthetic] [--steps N]
+    python -m second_tpu.train.run evaluate --config_path C --model_dir D \
+        [--synthetic]
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+import shutil
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import load_pipeline_config
+from ..data import ExamplePrep, PrepConfig, SyntheticDataset
+from ..models import build_voxelnet
+from ..utils import kitti_eval
+from .checkpoint import CheckpointManager
+from .metrics import MetricsLogger, PrecisionRecall, Scalar, StageTimer
+from .optimizer import build_optimizer
+from .state import TrainState, VoxelizeSpec, make_eval_step, make_train_step
+
+
+def _synthetic_lidar_to_camera_annos(boxes, names=None, scores=None):
+    """Map lidar-frame boxes to camera-frame anno dicts with dummy image
+    boxes, for AP computation on synthetic data (no real calib). gt and dt
+    must go through this same transform, so overlaps are preserved."""
+    boxes = np.asarray(boxes, np.float64).reshape(-1, 7)
+    n = len(boxes)
+    loc = np.stack([-boxes[:, 1], -boxes[:, 2], boxes[:, 0]], 1)
+    dims = np.stack([boxes[:, 4], boxes[:, 5], boxes[:, 3]], 1)  # l, h, w
+    rot = -boxes[:, 6]
+    anno = {
+        "name": np.array(names if names is not None else ["Car"] * n),
+        "truncated": np.zeros(n),
+        "occluded": np.zeros(n, np.int64),
+        "alpha": np.full(n, -10.0),
+        "bbox": np.tile(np.array([[0.0, 0.0, 200.0, 200.0]]), (n, 1)),
+        "dimensions": dims,
+        "location": loc,
+        "rotation_y": rot,
+        "score": (np.asarray(scores, np.float64) if scores is not None
+                  else np.zeros(n)),
+    }
+    return anno
+
+
+class Trainer:
+    def __init__(self, config_path, model_dir, synthetic=False,
+                 dataset_size=256, max_points=20000, total_steps=None):
+        self.cfg = load_pipeline_config(config_path)
+        self.model_dir = pathlib.Path(model_dir)
+        self.model_dir.mkdir(parents=True, exist_ok=True)
+        # keep the resolved config beside the run (reference train.py:114-122)
+        shutil.copy(config_path, self.model_dir / "pipeline.config")
+
+        (self.module, self.spec, self.info, self.assigner,
+         self.coder) = build_voxelnet(self.cfg.model)
+        self.vspec = VoxelizeSpec.from_config(
+            self.cfg.model.voxel_generator,
+            self.cfg.train_input_reader.max_number_of_voxels)
+        self.prep = ExamplePrep(
+            self.assigner, self.info.feature_map_size,
+            PrepConfig(max_points=max_points,
+                       shuffle_points=self.cfg.train_input_reader.shuffle_points,
+                       training=True))
+        self.synthetic = synthetic
+        if synthetic:
+            pc_range = tuple(self.cfg.model.voxel_generator.point_cloud_range)
+            self.train_ds = SyntheticDataset(dataset_size, seed=1,
+                                             pc_range=pc_range)
+            self.eval_ds = SyntheticDataset(max(32, dataset_size // 8),
+                                            seed=2, pc_range=pc_range)
+        else:
+            from ..data.kitti_dataset import KittiDataset
+            self.train_ds = KittiDataset(
+                self.cfg.train_input_reader.kitti_info_path,
+                self.cfg.train_input_reader.kitti_root_path,
+                training=True,
+                input_cfg=self.cfg.train_input_reader)
+            self.eval_ds = KittiDataset(
+                self.cfg.eval_input_reader.kitti_info_path,
+                self.cfg.eval_input_reader.kitti_root_path,
+                training=False,
+                input_cfg=self.cfg.eval_input_reader)
+
+        self.total_steps = total_steps or self.cfg.train_config.steps
+        self.tx, self.lr_sched = build_optimizer(
+            self.cfg.train_config.optimizer, self.total_steps)
+        self.train_step = make_train_step(self.spec, self.vspec)
+        self.eval_step = make_eval_step(self.spec, self.vspec)
+        self.ckpt = CheckpointManager(self.model_dir)
+        self.logger = MetricsLogger(self.model_dir)
+        self.timer = StageTimer()
+
+    # -- data --------------------------------------------------------------
+    def _batch_iter(self, batch_size, rng):
+        order = rng.permutation(len(self.train_ds))
+        pos = 0
+        while True:
+            if pos + batch_size > len(order):
+                order = rng.permutation(len(self.train_ds))
+                pos = 0
+            examples = [self.prep(self.train_ds[int(i)], rng)
+                        for i in order[pos:pos + batch_size]]
+            pos += batch_size
+            batch = self.prep.collate(examples)
+            yield {k: jnp.asarray(v) for k, v in batch.items()
+                   if k != "image_idx"}
+
+    def _init_state(self, batch):
+        state = TrainState.create(self.module, self.tx,
+                                  jax.random.PRNGKey(0), self.vspec, batch)
+        restored = self.ckpt.try_restore_latest(state)
+        if restored is not None:
+            state = restored
+            print(f"restored checkpoint at step {int(state.step)}")
+        return state
+
+    # -- loops -------------------------------------------------------------
+    def train(self, total_steps: Optional[int] = None):
+        tc = self.cfg.train_config
+        total_steps = total_steps or self.total_steps
+        batch_size = self.cfg.train_input_reader.batch_size
+        rng = np.random.default_rng(0)
+        batches = self._batch_iter(batch_size, rng)
+        state = self._init_state(next(batches))
+        avg_loss = Scalar()
+        pr = PrecisionRecall()
+        last_ckpt_time = time.time()
+        step = int(state.step)
+        try:
+            while step < total_steps:
+                self.timer.start("data")
+                batch = next(batches)
+                self.timer.end("data")
+                self.timer.start("step")
+                state, metrics = self.train_step(state, batch)
+                step = int(state.step)   # host sync
+                self.timer.end("step")
+                avg_loss.update(metrics["loss"])
+                if step % tc.save_summary_steps == 0:
+                    log = {k: float(v) for k, v in metrics.items()}
+                    log["lr"] = float(self.lr_sched(step))
+                    log["avg_loss"] = avg_loss.value
+                    log.update({f"time/{k}": v
+                                for k, v in self.timer.averages().items()})
+                    self.logger.log(step, log, prefix="train")
+                    self.timer.clear()
+                if time.time() - last_ckpt_time > tc.save_checkpoints_secs:
+                    self.ckpt.save(state, step)
+                    last_ckpt_time = time.time()
+                if tc.steps_per_eval and step % tc.steps_per_eval == 0:
+                    self.ckpt.save(state, step)
+                    self.evaluate(state)
+        except BaseException:
+            # crash-save, like the reference's try/except around the loop
+            self.ckpt.save(state, int(state.step))
+            raise
+        self.ckpt.save(state, int(state.step))
+        return state
+
+    def evaluate(self, state=None, max_frames: Optional[int] = None):
+        if state is None:
+            batch_size = self.cfg.eval_input_reader.batch_size
+            rng = np.random.default_rng(0)
+            state = self._init_state(next(self._batch_iter(batch_size, rng)))
+        eval_prep = ExamplePrep(
+            self.assigner, self.info.feature_map_size,
+            PrepConfig(max_points=self.prep._prep.max_points, training=True))
+        batch_size = self.cfg.eval_input_reader.batch_size
+        n = len(self.eval_ds)
+        if max_frames:
+            n = min(n, max_frames)
+        gt_annos, dt_annos = [], []
+        t0 = time.time()
+        rng = np.random.default_rng(0)
+        for start in range(0, n - n % batch_size, batch_size):
+            scenes = [self.eval_ds[i] for i in range(start,
+                                                     start + batch_size)]
+            examples = [eval_prep(s, rng) for s in scenes]
+            batch = eval_prep.collate(examples)
+            jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+                      if k != "image_idx"}
+            det = self.eval_step(state, jbatch)
+            det = {k: np.asarray(v) for k, v in det.items()}
+            for b, scene in enumerate(scenes):
+                valid = det["valid"][b]
+                if self.synthetic:
+                    gt_annos.append(_synthetic_lidar_to_camera_annos(
+                        scene["gt_boxes"], scene["gt_names"]))
+                    dt_annos.append(_synthetic_lidar_to_camera_annos(
+                        det["boxes"][b][valid],
+                        ["Car"] * int(valid.sum()),
+                        det["scores"][b][valid]))
+                else:
+                    from ..data.kitti import detections_to_kitti_annos
+                    dt_annos.append(detections_to_kitti_annos(
+                        {k: v[b] for k, v in det.items()},
+                        scene["calib/R0_rect"], scene["calib/Tr_velo_to_cam"],
+                        scene["calib/P2"], scene.get("img_shape"),
+                        self.assigner.classes,
+                        self.cfg.model.post_center_limit_range))
+                    gt_annos.append(scene["annos"])
+        dt = time.time() - t0
+        fps = len(dt_annos) / max(dt, 1e-9)
+        classes = [c for c in self.assigner.classes]
+        text, detail = kitti_eval.get_official_eval_result(
+            gt_annos, dt_annos, classes)
+        step = int(state.step)
+        self.logger.log_text(step, "eval", text)
+        self.logger.log(step, {"frames_per_sec": fps, **{
+            k: v[1] for k, v in detail.items() if "/3d" in k}}, prefix="eval")
+        return detail
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("command", choices=["train", "evaluate"])
+    parser.add_argument("--config_path", required=True)
+    parser.add_argument("--model_dir", required=True)
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--steps", type=int, default=None)
+    parser.add_argument("--dataset_size", type=int, default=256)
+    parser.add_argument("--max_points", type=int, default=20000)
+    parser.add_argument("--max_frames", type=int, default=None)
+    args = parser.parse_args()
+    trainer = Trainer(args.config_path, args.model_dir, args.synthetic,
+                      args.dataset_size, args.max_points,
+                      total_steps=args.steps)
+    if args.command == "train":
+        trainer.train(args.steps)
+    else:
+        trainer.evaluate(max_frames=args.max_frames)
+
+
+if __name__ == "__main__":
+    main()
