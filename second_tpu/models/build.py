@@ -56,6 +56,8 @@ def build_voxelnet(cfg: schema.ModelConfig):
             "num_input_features": cfg.voxel_feature_extractor.num_filters[-1],
         }
     else:
+        # sparse middle family: dense zyx shape is grid + (1, 0, 0)
+        # (reference middle.py:457)
         middle_downsample = cfg.middle_feature_extractor.downsample_factor
         middle_kwargs = {
             "output_shape": (nz + 1, ny, nx),

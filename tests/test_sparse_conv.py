@@ -1,0 +1,166 @@
+"""Sparse conv ops vs dense-conv oracle (lax.conv on the densified grid)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from second_tpu.ops import sparse_conv as sp
+
+
+def make_active_set(rng, grid, n_active, cap, cin):
+    """Random active voxels, returned sorted with static capacity `cap`."""
+    D, H, W = grid
+    lin = rng.choice(D * H * W, size=n_active, replace=False)
+    coords = np.stack([lin // (H * W), (lin // W) % H, lin % W], 1)
+    feats = rng.normal(0, 1, (n_active, cin)).astype(np.float32)
+    pad = cap - n_active
+    coords = np.concatenate([coords, np.zeros((pad, 3), np.int64)])
+    feats = np.concatenate([feats, np.zeros((pad, cin), np.float32)])
+    valid = np.arange(cap) < n_active
+    c, f, v, k = sp.sort_active(jnp.asarray(coords.astype(np.int32)),
+                                jnp.asarray(feats), jnp.asarray(valid), grid)
+    return c, f, v, k
+
+
+def dense_from_sparse(coords, feats, valid, grid):
+    D, H, W = grid
+    dense = np.zeros((D, H, W, feats.shape[-1]), np.float32)
+    c = np.asarray(coords)
+    f = np.asarray(feats)
+    for i in np.flatnonzero(np.asarray(valid)):
+        dense[c[i, 0], c[i, 1], c[i, 2]] = f[i]
+    return dense
+
+
+def dense_conv(dense, weights, kernel, stride, padding):
+    """lax 3D conv oracle. weights [K, Cin, Cout] in itertools.product order."""
+    kd, kh, kw = kernel
+    w = np.asarray(weights).reshape(kd, kh, kw, dense.shape[-1], -1)
+    out = jax.lax.conv_general_dilated(
+        jnp.asarray(dense[None]), jnp.asarray(w),
+        window_strides=stride,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1]),
+                 (padding[2], padding[2])],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return np.asarray(out[0])
+
+
+class TestSubMConv:
+    def test_matches_dense_at_active_sites(self):
+        rng = np.random.default_rng(0)
+        grid = (6, 10, 12)
+        cin, cout = 5, 7
+        c, f, v, k = make_active_set(rng, grid, 40, 64, cin)
+        w = rng.normal(0, 0.3, (27, cin, cout)).astype(np.float32)
+        out = sp.subm_conv3d(f, c, k, v, grid, jnp.asarray(w))
+        dense = dense_from_sparse(c, f, v, grid)
+        ref = dense_conv(dense, w, (3, 3, 3), (1, 1, 1), (1, 1, 1))
+        cnp, vnp = np.asarray(c), np.asarray(v)
+        for i in np.flatnonzero(vnp):
+            z, y, x = cnp[i]
+            np.testing.assert_allclose(np.asarray(out[i]), ref[z, y, x],
+                                       rtol=1e-4, atol=1e-4)
+        # inactive rows are zero
+        assert np.abs(np.asarray(out)[~vnp]).max() == 0
+
+    def test_submanifold_ignores_inactive_neighbors(self):
+        """Output at active sites only sums contributions from *active*
+        neighbors — exactly the dense conv on the sparse canvas."""
+        rng = np.random.default_rng(1)
+        grid = (4, 4, 4)
+        c, f, v, k = make_active_set(rng, grid, 2, 8, 3)
+        w = rng.normal(0, 0.3, (27, 3, 3)).astype(np.float32)
+        out = sp.subm_conv3d(f, c, k, v, grid, jnp.asarray(w))
+        dense = dense_from_sparse(c, f, v, grid)
+        ref = dense_conv(dense, w, (3, 3, 3), (1, 1, 1), (1, 1, 1))
+        cnp = np.asarray(c)
+        for i in np.flatnonzero(np.asarray(v)):
+            z, y, x = cnp[i]
+            np.testing.assert_allclose(np.asarray(out[i]), ref[z, y, x],
+                                       rtol=1e-4, atol=1e-5)
+
+
+class TestSparseConvDown:
+    @pytest.mark.parametrize("kernel,stride,padding", [
+        ((3, 3, 3), (2, 2, 2), (1, 1, 1)),
+        ((3, 3, 3), (2, 2, 2), (0, 1, 1)),
+        ((3, 1, 1), (2, 1, 1), (0, 0, 0)),
+    ])
+    def test_matches_dense(self, kernel, stride, padding):
+        rng = np.random.default_rng(2)
+        grid = (7, 12, 14)
+        cin, cout = 4, 6
+        c, f, v, k = make_active_set(rng, grid, 50, 64, cin)
+        K = int(np.prod(kernel))
+        w = rng.normal(0, 0.3, (K, cin, cout)).astype(np.float32)
+        out, oc, ok, ov, og = sp.sparse_conv3d(
+            f, c, k, v, grid, jnp.asarray(w), kernel, stride, padding,
+            out_cap=128)
+        dense = dense_from_sparse(c, f, v, grid)
+        ref = dense_conv(dense, w, kernel, stride, padding)
+        assert ref.shape[:3] == og
+        ocn, ovn = np.asarray(oc), np.asarray(ov)
+        for i in np.flatnonzero(ovn):
+            z, y, x = ocn[i]
+            np.testing.assert_allclose(np.asarray(out[i]), ref[z, y, x],
+                                       rtol=1e-4, atol=1e-4)
+        # every nonzero dense output position is in the active output set
+        nz = np.argwhere(np.abs(ref).sum(-1) > 1e-5)
+        active = {tuple(r) for r in ocn[ovn]}
+        for pos in nz:
+            assert tuple(pos) in active
+
+    def test_output_capacity_overflow(self):
+        rng = np.random.default_rng(3)
+        grid = (4, 8, 8)
+        c, f, v, k = make_active_set(rng, grid, 60, 64, 2)
+        w = rng.normal(0, 0.3, (27, 2, 2)).astype(np.float32)
+        out, oc, ok, ov, og = sp.sparse_conv3d(
+            f, c, k, v, grid, jnp.asarray(w), (3, 3, 3), (2, 2, 2), (1, 1, 1),
+            out_cap=8)
+        assert int(np.asarray(ov).sum()) == 8  # capped deterministically
+
+
+class TestSparseMiddleModule:
+    def test_fhd_module_shapes(self):
+        from second_tpu.models.sparse_middle import SparseMiddleFHD
+        rng = np.random.default_rng(4)
+        grid = (41, 32, 32)    # fhd depth, tiny spatial (D = nz + 1)
+        B, N, C = 2, 128, 4
+        coords = np.stack([rng.integers(0, g, (B, N)) for g in grid],
+                          -1).astype(np.int32)
+        feats = rng.normal(0, 1, (B, N, C)).astype(np.float32)
+        valid = np.ones((B, N), bool)
+        valid[:, 100:] = False
+        mod = SparseMiddleFHD(output_shape=grid, num_input_features=C)
+        params = mod.init(jax.random.PRNGKey(0), jnp.asarray(feats),
+                          jnp.asarray(coords), jnp.asarray(valid),
+                          train=False)
+        out = mod.apply(params, jnp.asarray(feats), jnp.asarray(coords),
+                        jnp.asarray(valid), train=False)
+        # depth chain 41→21→11→5→2, spatial 32→16→8→4→4 (pad (0,1,1) on
+        # stage 3 and none after), channels 2*64
+        assert out.shape == (B, 4, 4, 128)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_train_mode_updates_stats(self):
+        from second_tpu.models.sparse_middle import SparseMiddleFHD
+        rng = np.random.default_rng(5)
+        grid = (41, 16, 16)
+        B, N, C = 1, 64, 4
+        coords = np.stack([rng.integers(0, g, (B, N)) for g in grid],
+                          -1).astype(np.int32)
+        feats = rng.normal(0, 1, (B, N, C)).astype(np.float32)
+        valid = np.ones((B, N), bool)
+        mod = SparseMiddleFHD(output_shape=grid, num_input_features=C)
+        variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(feats),
+                             jnp.asarray(coords), jnp.asarray(valid),
+                             train=False)
+        out, mutated = mod.apply(
+            variables, jnp.asarray(feats), jnp.asarray(coords),
+            jnp.asarray(valid), train=True, mutable=["batch_stats"])
+        before = jax.tree.leaves(variables["batch_stats"])
+        after = jax.tree.leaves(mutated["batch_stats"])
+        changed = any(not np.allclose(b, a) for b, a in zip(before, after))
+        assert changed
