@@ -1,0 +1,232 @@
+"""Tests: augmentation, db sampling, KITTI parsing + create_data + dataset."""
+
+import pathlib
+import pickle
+
+import numpy as np
+import pytest
+
+from second_tpu.core import augment, box_np
+from second_tpu.core.db_sampler import BatchSampler, DataBaseSampler
+from second_tpu.data import kitti
+
+
+class TestAugment:
+    def test_noise_per_object_no_collisions(self):
+        rng = np.random.default_rng(0)
+        boxes = np.array([
+            [0.0, 0, -1.7, 1.6, 3.9, 1.56, 0.0],
+            [10.0, 0, -1.7, 1.6, 3.9, 1.56, 0.5],
+            [0.0, 10, -1.7, 1.6, 3.9, 1.56, 1.0],
+        ])
+        pts = np.concatenate(
+            [b[:3] + rng.uniform(-0.4, 0.4, (30, 3)) * b[3:6]
+             for b in boxes]).astype(np.float64)
+        pts[:, 2] += boxes[0, 5] / 2
+        pts = np.concatenate([pts, rng.uniform(0, 1, (90, 1))], 1)
+        before = boxes.copy()
+        augment.noise_per_object(boxes, pts, rng=rng)
+        assert not np.allclose(boxes, before)     # something moved
+        coll = augment.box_collision_test(boxes[:, [0, 1, 3, 4, 6]],
+                                          boxes[:, [0, 1, 3, 4, 6]])
+        np.fill_diagonal(coll, False)
+        assert not coll.any()                      # still collision-free
+
+    def test_points_follow_boxes(self):
+        rng = np.random.default_rng(1)
+        boxes = np.array([[5.0, 5, -1.7, 2.0, 4.0, 1.6, 0.0]])
+        pts = np.array([[5.0, 5.0, -1.0, 0.5]])
+        augment.noise_per_object(boxes, pts, center_noise_std=(2, 2, 0),
+                                 rotation_perturb=(-1, 1), rng=rng)
+        inside = box_np.points_in_rbbox(pts, boxes)
+        assert inside[0, 0]
+
+    def test_global_transforms_keep_points_in_boxes(self):
+        rng = np.random.default_rng(2)
+        boxes = np.array([[5.0, 5, -1.7, 2.0, 4.0, 1.6, 0.3]])
+        pts = np.array([[5.2, 5.1, -1.0, 0.5], [4.8, 4.9, -0.8, 0.2]])
+        for fn in (augment.global_rotation, augment.global_scaling,
+                   augment.random_flip):
+            b, p = boxes.copy(), pts.copy()
+            fn(b, p, rng=rng) if fn is not augment.random_flip else \
+                fn(b, p, probability=1.0, rng=rng)
+            assert box_np.points_in_rbbox(p, b).all()
+
+    def test_filter_low_points(self):
+        boxes = np.array([[0.0, 0, 0, 2, 2, 2, 0.0],
+                          [50.0, 50, 0, 2, 2, 2, 0.0]])
+        pts = np.concatenate(
+            [np.random.default_rng(3).uniform(-0.5, 0.5, (20, 3)) + [0, 0, 1],
+             np.zeros((1, 3)) + [50, 50, 1]])
+        mask = augment.filter_gt_low_points(boxes, pts, min_points=5)
+        np.testing.assert_array_equal(mask, [True, False])
+
+
+class TestDBSampler:
+    def _db(self):
+        rng = np.random.default_rng(4)
+        infos = []
+        for i in range(20):
+            infos.append({
+                "name": "Car",
+                "box3d_lidar": np.array(
+                    [rng.uniform(5, 60), rng.uniform(-30, 30), -1.7,
+                     1.6, 3.9, 1.56, rng.uniform(-np.pi, np.pi)], np.float32),
+                "num_points_in_gt": int(rng.integers(3, 50)),
+                "difficulty": int(rng.integers(0, 3)),
+                "points": rng.uniform(-1, 1, (10, 4)).astype(np.float32),
+            })
+        return {"Car": infos}
+
+    def test_sampling_respects_quota_and_collisions(self):
+        db = self._db()
+        sampler = DataBaseSampler(db, {"Car": 10},
+                                  rng=np.random.default_rng(5))
+        gt = np.array([[20.0, 0, -1.7, 1.6, 3.9, 1.56, 0.0]])
+        out = sampler.sample_all(gt, np.array(["Car"]))
+        assert out is not None
+        assert len(out["gt_boxes"]) <= 9   # quota 10 − 1 existing
+        allb = np.concatenate([gt, out["gt_boxes"]])
+        coll = augment.box_collision_test(allb[:, [0, 1, 3, 4, 6]],
+                                          allb[:, [0, 1, 3, 4, 6]])
+        np.fill_diagonal(coll, False)
+        assert not coll.any()
+        # points pasted at the sampled box positions
+        assert len(out["points"]) == 10 * len(out["gt_boxes"])
+
+    def test_batch_sampler_epochs(self):
+        s = BatchSampler(list(range(5)), rng=np.random.default_rng(6))
+        seen = s.sample(3) + s.sample(3) + s.sample(3)
+        assert len(seen) == 9
+
+
+KITTI_LABEL = """Car 0.00 0 -1.58 587.01 173.33 614.12 200.12 1.65 1.67 3.64 -0.65 1.71 46.70 -1.59
+Car 0.00 1 1.85 387.63 181.54 423.81 203.12 1.67 1.87 3.69 -16.53 2.39 58.49 1.57
+DontCare -1 -1 -10 503.89 169.71 590.61 190.13 -1 -1 -1 -1000 -1000 -1000 -10
+"""
+
+KITTI_CALIB = """P0: 707.0493 0 604.0814 0 0 707.0493 180.5066 0 0 0 1 0
+P1: 707.0493 0 604.0814 -379.7842 0 707.0493 180.5066 0 0 0 1 0
+P2: 707.0493 0 604.0814 45.75831 0 707.0493 180.5066 -0.3454157 0 0 1 0.004981016
+P3: 707.0493 0 604.0814 -334.1081 0 707.0493 180.5066 2.33966 0 0 1 0.003068011
+R0_rect: 0.9999128 0.01009263 -0.008511932 -0.01012729 0.9999406 -0.004037671 0.008470675 0.004123522 0.9999556
+Tr_velo_to_cam: 0.006927964 -0.9999722 -0.002757829 -0.02457729 -0.001162982 0.002749836 -0.9999955 -0.06127237 0.9999753 0.006931141 0.00116072 -0.3321029
+Tr_imu_to_velo: 0.9999976 0.0007553071 -0.002035826 -0.8086759 -0.0007854027 0.9998898 -0.01482298 0.3195559 0.002024406 0.01482454 0.9998881 -0.7997231
+"""
+
+
+class TestKittiParsing:
+    def test_label_roundtrip(self):
+        anno = kitti.parse_label_lines(KITTI_LABEL.strip().split("\n"))
+        assert list(anno["name"]) == ["Car", "Car", "DontCare"]
+        assert anno["bbox"].shape == (3, 4)
+        # dims stored (l, h, w): file h,w,l = 1.65 1.67 3.64 → (3.64,1.65,1.67)
+        np.testing.assert_allclose(anno["dimensions"][0], [3.64, 1.65, 1.67])
+        np.testing.assert_array_equal(anno["index"], [0, 1, -1])
+        lines = kitti.annos_to_kitti_label(anno)
+        anno2 = kitti.parse_label_lines(lines)
+        np.testing.assert_allclose(anno2["dimensions"], anno["dimensions"],
+                                   atol=1e-3)
+        np.testing.assert_allclose(anno2["location"], anno["location"],
+                                   atol=1e-3)
+
+    def test_calib_parsing(self):
+        calib = kitti.parse_calib_lines(KITTI_CALIB.strip().split("\n"))
+        assert calib["calib/P2"].shape == (4, 4)
+        assert calib["calib/R0_rect"].shape == (4, 4)
+        assert np.isclose(calib["calib/P2"][0, 0], 707.0493)
+        assert np.isclose(calib["calib/R0_rect"][3, 3], 1.0)
+
+    def test_difficulty(self):
+        anno = kitti.parse_label_lines(KITTI_LABEL.strip().split("\n"))
+        diff = kitti.add_difficulty_to_annos(anno)
+        assert diff[0] == 1      # bbox height 26.8px < 40 → moderate
+        assert diff[1] == -1     # height 21.6px < 25 → below hard threshold
+
+
+@pytest.fixture
+def fake_kitti(tmp_path):
+    """Minimal on-disk KITTI training split (2 frames)."""
+    rng = np.random.default_rng(7)
+    root = tmp_path / "kitti"
+    for sub in ("velodyne", "label_2", "calib", "image_2"):
+        (root / "training" / sub).mkdir(parents=True)
+    (root / "ImageSets").mkdir()
+    ids = [0, 1]
+    (root / "ImageSets" / "train.txt").write_text(
+        "\n".join(f"{i:06d}" for i in ids))
+    calib = kitti.parse_calib_lines(KITTI_CALIB.strip().split("\n"))
+    for i in ids:
+        stem = f"{i:06d}"
+        anno = kitti.parse_label_lines(KITTI_LABEL.strip().split("\n"))
+        # points: clusters at each gt in lidar frame + clutter ahead of car
+        keep = anno["name"] != "DontCare"
+        cam = np.concatenate([anno["location"][keep],
+                              anno["dimensions"][keep],
+                              anno["rotation_y"][keep][:, None]], 1)
+        lidar = box_np.box_camera_to_lidar(
+            cam, calib["calib/R0_rect"], calib["calib/Tr_velo_to_cam"])
+        pts = [b[:3] + [0, 0, b[5] / 2] +
+               rng.uniform(-0.4, 0.4, (50, 3)) * b[3:6] for b in lidar]
+        pts.append(np.stack([rng.uniform(0, 60, 500),
+                             rng.uniform(-20, 20, 500),
+                             rng.normal(-1.7, 0.05, 500)], 1))
+        points = np.concatenate(pts).astype(np.float32)
+        points = np.concatenate(
+            [points, rng.uniform(0, 1, (len(points), 1)).astype(np.float32)],
+            1)
+        points.tofile(root / "training" / "velodyne" / f"{stem}.bin")
+        (root / "training" / "label_2" / f"{stem}.txt").write_text(KITTI_LABEL)
+        (root / "training" / "calib" / f"{stem}.txt").write_text(KITTI_CALIB)
+        # tiny valid PNG (1242x375 header only matters for shape)
+        import struct, zlib
+        w, h = 1242, 375
+        def chunk(typ, data):
+            c = typ + data
+            return (struct.pack(">I", len(data)) + c +
+                    struct.pack(">I", zlib.crc32(c)))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        raw = zlib.compress(b"".join(b"\x00" + b"\x00" * w
+                                     for _ in range(h)))
+        png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+               chunk(b"IDAT", raw) + chunk(b"IEND", b""))
+        (root / "training" / "image_2" / f"{stem}.png").write_bytes(png)
+    return root
+
+
+class TestCreateDataAndDataset:
+    def test_end_to_end(self, fake_kitti):
+        from second_tpu.data import kitti_dataset as kd
+        kd.create_kitti_info_file(fake_kitti)
+        assert (fake_kitti / "kitti_infos_train.pkl").exists()
+        kd.create_reduced_point_cloud(fake_kitti)
+        kd.create_groundtruth_database(fake_kitti)
+        with open(fake_kitti / "kitti_dbinfos_train.pkl", "rb") as f:
+            db = pickle.load(f)
+        assert "Car" in db and len(db["Car"]) == 4   # 2 frames × 2 cars
+        assert all(i["num_points_in_gt"] > 0 for i in db["Car"])
+
+        from second_tpu.config.schema import InputReaderConfig, SamplerConfig, \
+            SamplerGroupConfig
+        icfg = InputReaderConfig(
+            groundtruth_localization_noise_std=[0.2, 0.2, 0.1],
+            groundtruth_rotation_uniform_noise=[-0.15, 0.15],
+            global_rotation_uniform_noise=[-0.78, 0.78],
+            global_scaling_uniform_noise=[0.95, 1.05],
+            remove_points_after_sample=True)
+        icfg.database_sampler = SamplerConfig(
+            database_info_path=str(fake_kitti / "kitti_dbinfos_train.pkl"),
+            sample_groups=[SamplerGroupConfig({"Car": 5})])
+        ds = kd.KittiDataset(fake_kitti / "kitti_infos_train.pkl",
+                             fake_kitti, training=True, input_cfg=icfg,
+                             rng=np.random.default_rng(8))
+        scene = ds[0]
+        assert scene["points"].shape[1] == 4
+        assert scene["gt_boxes"].shape[1] == 7
+        assert len(scene["gt_boxes"]) >= 2    # originals + sampled
+        assert scene["calib/P2"].shape == (4, 4)
+        # eval mode: no augmentation, annos passthrough
+        ds_eval = kd.KittiDataset(fake_kitti / "kitti_infos_train.pkl",
+                                  fake_kitti, training=False)
+        scene_e = ds_eval[0]
+        assert "annos" in scene_e
