@@ -1,0 +1,86 @@
+"""Tests: camera-fusion branch (FPN-18, projection scatter, fusion RPN)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from second_tpu.models.fusion import (FusionRPN, FusionVoxelNet, ResNetFPN18,
+                                      compute_image_projection,
+                                      project_image_to_bev)
+
+
+class TestFPN18:
+    def test_p3_stride8(self):
+        mod = ResNetFPN18()
+        img = jnp.zeros((1, 64, 96, 3))
+        params = mod.init(jax.random.PRNGKey(0), img, train=False)
+        p3 = mod.apply(params, img, train=False)
+        assert p3.shape == (1, 8, 12, 256)
+
+
+class TestProjection:
+    def test_scatter(self):
+        p3 = jnp.arange(2 * 3 * 4 * 2, dtype=jnp.float32).reshape(2, 3, 4, 2)
+        proj_pix = jnp.asarray([[[1, 2], [0, 0]], [[2, 3], [0, 0]]])
+        proj_bev = jnp.asarray([[[0, 1], [5, 5]], [[2, 0], [0, 0]]])
+        proj_valid = jnp.asarray([[True, False], [True, False]])
+        out = project_image_to_bev(p3, proj_pix, proj_bev, proj_valid, (6, 6))
+        np.testing.assert_allclose(np.asarray(out[0, 0, 1]),
+                                   np.asarray(p3[0, 1, 2]))
+        np.testing.assert_allclose(np.asarray(out[1, 2, 0]),
+                                   np.asarray(p3[1, 2, 3]))
+        # invalid point dropped
+        assert np.abs(np.asarray(out[0, 5, 5])).sum() == 0
+
+    def test_host_projection_helper(self):
+        rng = np.random.default_rng(0)
+        points = np.stack([rng.uniform(5, 40, 50), rng.uniform(-10, 10, 50),
+                           rng.uniform(-2, 0, 50)], 1).astype(np.float32)
+        points = np.concatenate([points, np.zeros((50, 1), np.float32)], 1)
+        rect = np.eye(4)
+        velo2cam = np.array([[0, -1, 0, 0], [0, 0, -1, 0],
+                             [1, 0, 0, 0], [0, 0, 0, 1]], np.float64)
+        P2 = np.array([[700.0, 0, 600, 0], [0, 700, 180, 0],
+                       [0, 0, 1, 0], [0, 0, 0, 1]])
+        pix, bev, valid = compute_image_projection(
+            points, np.ones(50, bool), rect, velo2cam, P2, (370, 1240),
+            (0, -40, -3, 70.4, 40, 1), (0.05, 0.05, 0.1), 8, (200, 176))
+        assert valid.sum() > 0
+        assert (pix[valid] >= 0).all()
+        assert (bev[valid, 0] < 200).all() and (bev[valid, 1] < 176).all()
+
+
+class TestFusionRPN:
+    def test_forward_shapes(self):
+        mod = FusionRPN(num_class=1, num_anchor_per_loc=2)
+        bev = jnp.zeros((1, 20, 18, 64))
+        img = jnp.zeros((1, 64, 96, 3))
+        pix = jnp.zeros((1, 100, 2), jnp.int32)
+        pbev = jnp.zeros((1, 100, 2), jnp.int32)
+        pval = jnp.ones((1, 100), bool)
+        params = mod.init(jax.random.PRNGKey(0), bev, img, pix, pbev, pval,
+                          train=False)
+        out = mod.apply(params, bev, img, pix, pbev, pval, train=False)
+        assert out["box_preds"].shape == (1, 20, 18, 14)
+        assert out["cls_preds"].shape == (1, 20, 18, 2)
+        assert out["gated_concat_feat"].shape == (1, 20, 18, 128)
+
+    def test_image_gradient_flows(self):
+        """The cls head must receive gradient from the image branch."""
+        mod = FusionRPN(num_class=1, num_anchor_per_loc=2)
+        bev = jnp.ones((1, 8, 8, 16))
+        pix = jnp.zeros((1, 40, 2), jnp.int32)
+        pbev = jnp.asarray(np.stack(np.meshgrid(np.arange(5), np.arange(8)),
+                                    -1).reshape(1, -1, 2), jnp.int32)
+        pval = jnp.ones((1, 40), bool)
+        params = mod.init(jax.random.PRNGKey(0), bev,
+                          jnp.ones((1, 32, 32, 3)), pix, pbev, pval,
+                          train=False)
+
+        def f(img):
+            out = mod.apply(params, bev, img, pix, pbev, pval, train=False)
+            return out["cls_preds"].sum()
+
+        g = jax.grad(f)(jnp.ones((1, 32, 32, 3)))
+        assert float(jnp.abs(g).sum()) > 0
