@@ -1,0 +1,174 @@
+"""Tests: temporal two-frame detector, tracking nets, assignment, MOT."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from second_tpu.models.tracking import TrackNet, Tracker
+from second_tpu.utils.assignment import greedy_solve, solve_frame_pair
+from second_tpu.utils.mot_metrics import MOTAccumulator
+
+
+class TestTemporalDetector:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        from second_tpu.testing import tiny_pipeline_config, tiny_scene_kwargs
+        from second_tpu.models.temporal import (build_temporal_voxelnet,
+                                                compute_temporal_loss,
+                                                predict_temporal)
+        from second_tpu.train.state import VoxelizeSpec, device_voxelize
+        from second_tpu.data import ExamplePrep, PrepConfig
+        from second_tpu.data.synthetic import sample_scene
+
+        cfg = tiny_pipeline_config()
+        module, spec, info, assigner, coder = build_temporal_voxelnet(
+            cfg.model, num_proposals=32)
+        vspec = VoxelizeSpec.from_config(cfg.model.voxel_generator, 1024)
+        prep = ExamplePrep(assigner, info.feature_map_size,
+                           PrepConfig(max_points=2000, training=True))
+        rng = np.random.default_rng(0)
+        frames = []
+        for i in range(2):   # cur + prev
+            exs = []
+            for b in range(2):
+                p, bx, n = sample_scene(np.random.default_rng(10 * b + i),
+                                        **tiny_scene_kwargs())
+                exs.append(prep({"points": p, "gt_boxes": bx, "gt_names": n,
+                                 "image_idx": b}, rng))
+            batch = prep.collate(exs)
+            frames.append({k: jnp.asarray(v) for k, v in batch.items()
+                           if k != "image_idx"})
+        cur_v = device_voxelize(vspec, frames[0]["points"],
+                                frames[0]["points_mask"])
+        prev_v = device_voxelize(vspec, frames[1]["points"],
+                                 frames[1]["points_mask"])
+        cur_v = {"voxels": cur_v["voxels"], "num_points": cur_v["num_points"],
+                 "coordinates": cur_v["coordinates"],
+                 "voxel_valid": cur_v["voxel_valid"]}
+        prev_v = {"voxels": prev_v["voxels"],
+                  "num_points": prev_v["num_points"],
+                  "coordinates": prev_v["coordinates"],
+                  "voxel_valid": prev_v["voxel_valid"]}
+        variables = module.init(jax.random.PRNGKey(0), cur_v, prev_v,
+                                frames[0]["anchors"], train=False)
+        return dict(module=module, spec=spec, cur=cur_v, prev=prev_v,
+                    batch=frames[0], variables=variables,
+                    loss_fn=compute_temporal_loss,
+                    predict_fn=predict_temporal)
+
+    def test_forward_and_predict(self, setup):
+        m = setup
+        preds = m["module"].apply(m["variables"], m["cur"], m["prev"],
+                                  m["batch"]["anchors"], train=False)
+        assert preds["second_box_preds"].shape[1] == 32
+        det = m["predict_fn"](m["spec"], preds, m["batch"]["anchors"])
+        assert det["boxes"].shape[-1] == 7
+
+    def test_loss_and_shared_backbone_grads(self, setup):
+        m = setup
+
+        def loss_fn(params):
+            variables = {**m["variables"], "params": params}
+            preds, _ = m["module"].apply(
+                variables, m["cur"], m["prev"], m["batch"]["anchors"],
+                train=True, mutable=["batch_stats"])
+            out = m["loss_fn"](m["spec"], preds, m["batch"]["labels"],
+                               m["batch"]["reg_targets"],
+                               m["batch"]["anchors"])
+            return out["loss"], out
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            m["variables"]["params"])
+        assert np.isfinite(float(loss))
+        # one shared backbone: a single 'vfe' param subtree serves both frames
+        # (the tiny config's scatter middle is parameter-free)
+        assert "vfe" in grads
+        gn = float(jax.tree.reduce(
+            lambda a, b: a + jnp.sum(jnp.square(b)), grads["vfe"], 0.0))
+        assert np.isfinite(gn) and gn > 0
+        # the fusion gate receives gradient
+        assert "bev_fusion" in grads
+
+
+class TestTrackNet:
+    def test_shapes_and_affinity(self):
+        mod = TrackNet(feature_dim=64)
+        rng = np.random.default_rng(0)
+        crops1 = jnp.asarray(rng.normal(0, 1, (3, 32, 32, 3)), jnp.float32)
+        crops2 = jnp.asarray(rng.normal(0, 1, (4, 32, 32, 3)), jnp.float32)
+        pts1 = jnp.asarray(rng.normal(0, 1, (3, 50, 3)), jnp.float32)
+        pts2 = jnp.asarray(rng.normal(0, 1, (4, 50, 3)), jnp.float32)
+        m1 = jnp.ones((3, 50), bool)
+        m2 = jnp.ones((4, 50), bool)
+        params = mod.init(jax.random.PRNGKey(0), crops1, pts1, m1, crops2,
+                          pts2, m2)
+        out = mod.apply(params, crops1, pts1, m1, crops2, pts2, m2)
+        assert out["link_scores"].shape == (3, 4)
+        assert out["det_scores1"].shape == (3,)
+        assert out["end_scores"].shape == (3,)
+        assert out["new_scores"].shape == (4,)
+
+
+class TestAssignment:
+    def test_obvious_links(self):
+        link = np.array([[5.0, -1.0], [-1.0, 4.0]])
+        matches = solve_frame_pair(link, end_scores=[0.0, 0.0],
+                                   new_scores=[0.0, 0.0])
+        assert {tuple(m) for m in matches} == {(0, 0), (1, 1)}
+
+    def test_end_beats_weak_link(self):
+        link = np.array([[0.1]])
+        matches = solve_frame_pair(link, end_scores=[5.0], new_scores=[5.0])
+        assert len(matches) == 0     # ending + starting outweighs linking
+
+    def test_rectangular(self):
+        link = np.array([[3.0, 1.0, 2.0]])
+        matches = solve_frame_pair(link, end_scores=[0.0],
+                                   new_scores=[0.0, 0.0, 0.0])
+        assert matches.tolist() == [[0, 0]]
+
+    def test_greedy(self):
+        link = np.array([[3.0, 1.0], [2.0, 2.5]])
+        matches = greedy_solve(link)
+        assert {tuple(m) for m in matches} == {(0, 0), (1, 1)}
+
+
+class TestTracker:
+    def test_id_continuity(self):
+        tr = Tracker()
+        ids0 = tr.step(np.zeros((0, 2), np.int64), 2)
+        assert ids0.tolist() == [0, 1]
+        # det 0 links to prev det 1, det 1 is new
+        ids1 = tr.step(np.array([[1, 0]]), 2)
+        assert ids1[0] == 1 and ids1[1] not in (0, 1)
+        ids2 = tr.step(np.array([[0, 1]]), 2)
+        assert ids2[1] == ids1[0]
+
+
+class TestMOT:
+    def test_perfect_tracking(self):
+        acc = MOTAccumulator()
+        boxes = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], float)
+        for _ in range(5):
+            acc.update([1, 2], boxes, [7, 8], boxes)
+        s = acc.summary()
+        assert s["mota"] == 1.0 and s["fp"] == 0 and s["fn"] == 0
+        assert s["id_switches"] == 0
+
+    def test_id_switch_detected(self):
+        acc = MOTAccumulator()
+        boxes = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], float)
+        acc.update([1, 2], boxes, [7, 8], boxes)
+        acc.update([1, 2], boxes, [8, 7], boxes)   # swapped ids
+        assert acc.summary()["id_switches"] == 2
+
+    def test_fp_fn(self):
+        acc = MOTAccumulator()
+        gt = np.array([[0, 0, 10, 10]], float)
+        dt = np.array([[0, 0, 10, 10], [50, 50, 60, 60]], float)
+        acc.update([1], gt, [7, 9], dt)
+        s = acc.summary()
+        assert s["fp"] == 1 and s["fn"] == 0
+        acc.update([1], gt, [], np.zeros((0, 4)))
+        assert acc.summary()["fn"] == 1
