@@ -21,6 +21,7 @@ from ..core.anchors import TargetAssigner
 @dataclasses.dataclass
 class PrepConfig:
     max_points: int = 25000          # padded point capacity per frame
+    max_gt: int = 64                 # padded gt-box capacity per frame
     shuffle_points: bool = False
     training: bool = True
 
@@ -80,12 +81,21 @@ class ExamplePrep:
             example["labels"] = targets["labels"].astype(np.int32)
             example["reg_targets"] = targets["bbox_targets"].astype(np.float32)
             example["gt_boxes"] = scene["gt_boxes"]
+            G = self._prep.max_gt
+            padded_gt = np.zeros((G, 7), np.float32)
+            kept = gt_boxes[keep][:G]
+            padded_gt[:len(kept)] = kept
+            gt_valid = np.zeros((G,), bool)
+            gt_valid[:len(kept)] = True
+            example["gt_boxes_padded"] = padded_gt
+            example["gt_valid"] = gt_valid
         return example
 
     def collate(self, examples: List[Dict]) -> Dict:
         """Stack examples + broadcast the anchor cache."""
         batch = {}
-        for key in ("points", "points_mask", "labels", "reg_targets"):
+        for key in ("points", "points_mask", "labels", "reg_targets",
+                    "gt_boxes_padded", "gt_valid"):
             if key in examples[0]:
                 batch[key] = np.stack([e[key] for e in examples])
         batch["anchors"] = np.broadcast_to(

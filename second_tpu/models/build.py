@@ -91,12 +91,18 @@ def build_voxelnet(cfg: schema.ModelConfig):
         "num_groups": cfg.rpn.num_groups,
     }
 
+    iou_kwargs = {
+        "num_filters": tuple(cfg.iou.num_filters),
+        "num_anchor_per_loc": num_anchor_per_loc,
+    }
     module = VoxelNet(
         vfe_class_name=vfe_name,
         vfe_kwargs=tuple(sorted(vfe_kwargs.items())),
         middle_class_name=middle_name,
         middle_kwargs=tuple(sorted(middle_kwargs.items())),
         rpn_kwargs=tuple(sorted(rpn_kwargs.items())),
+        use_iou_branch=cfg.use_iou_branch,
+        iou_kwargs=tuple(sorted(iou_kwargs.items())),
     )
     spec = build_detector_spec(cfg)
     info = NetInfo(

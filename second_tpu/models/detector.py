@@ -50,6 +50,26 @@ class DetectorSpec:
     post_center_limit_range: Tuple[float, ...] = ()
     cls_loss_fn: Callable = None
     loc_loss_fn: Callable = None
+    # IoU-prediction branch (reference voxelnet_iou.py:344-386, 560-600)
+    use_iou_branch: bool = False
+    use_iou_param_partaa: bool = False
+    iou_loss_weight: float = 1.0
+    iou_loss_fn: Callable = None
+
+
+class IoUHead(nn.Module):
+    """Per-anchor IoU-prediction head over the RPN trunk (the reference's
+    `iou` module, configured by `second.proto` IOU, `voxelnet_iou.py:135`)."""
+    num_filters: Tuple[int, ...] = (128, 128)
+    num_anchor_per_loc: int = 2
+
+    @nn.compact
+    def __call__(self, trunk):
+        x = trunk
+        for f in self.num_filters:
+            x = nn.Conv(f, (3, 3), padding="SAME")(x)
+            x = nn.relu(x)
+        return nn.Conv(self.num_anchor_per_loc, (1, 1))(x)
 
 
 class VoxelNet(nn.Module):
@@ -59,6 +79,8 @@ class VoxelNet(nn.Module):
     middle_class_name: str = "PointPillarsScatter"
     middle_kwargs: Any = None
     rpn_kwargs: Any = None
+    use_iou_branch: bool = False
+    iou_kwargs: Any = None
 
     @nn.compact
     def __call__(self, voxels, num_points, coords, voxel_valid,
@@ -71,18 +93,43 @@ class VoxelNet(nn.Module):
             **dict(self.middle_kwargs or {}), name="middle")
         bev = middle(voxel_features, coords, voxel_valid, train)
         rpn = RPN(**dict(self.rpn_kwargs or {}), name="rpn")
-        return rpn(bev, train)
+        out = rpn(bev, train)
+        if self.use_iou_branch:
+            out["iou_preds"] = IoUHead(
+                **dict(self.iou_kwargs or {}), name="iou")(out["trunk"])
+        return out
 
 
 # ---------------------------------------------------------------------------
 # Loss (reference voxelnet.py:310-369)
 # ---------------------------------------------------------------------------
 
-def compute_loss(spec: DetectorSpec, preds_dict, labels, reg_targets, anchors):
-    """Assemble cls/loc(/dir) losses.
+def _iou_targets(spec: DetectorSpec, box_preds, labels, anchors, gt_boxes,
+                 gt_valid):
+    """Per-anchor IoU targets: 3D IoU of decoded predictions vs gt, with
+    Part-A² soft labels (reference voxelnet_iou.py:378-386)."""
+    from ..ops.rotated_iou import d3_iou_matrix
+    decoded = box_ops.second_box_decode(box_preds, anchors)
 
-    labels: [B, A] int32; reg_targets: [B, A, code]; anchors: [B, A, code].
-    Returns dict of scalars + per-anchor diagnostics.
+    def one(dec, gt, gv):
+        iou = d3_iou_matrix(dec, gt)            # [A, G]
+        iou = jnp.where(gv[None, :], iou, 0.0)
+        return iou.max(-1)
+    iou = jax.vmap(one)(decoded, gt_boxes, gt_valid)       # [B, A]
+    iou = jax.lax.stop_gradient(iou)
+    if spec.use_iou_param_partaa:
+        soft = jnp.clip(iou * 2.0 - 0.5, 0.0, 1.0)
+        iou = jnp.where(iou > 0.75, 1.0, jnp.where(iou < 0.25, 0.0, soft))
+    return jnp.where(labels > 0, iou, 0.0)
+
+
+def compute_loss(spec: DetectorSpec, preds_dict, labels, reg_targets, anchors,
+                 gt_boxes=None, gt_valid=None):
+    """Assemble cls/loc(/dir/iou) losses.
+
+    labels: [B, A] int32; reg_targets: [B, A, code]; anchors: [B, A, code];
+    gt_boxes/gt_valid: padded [B, G, 7]/[B, G] (needed by the IoU branch and
+    Part-A² soft cls labels). Returns dict of scalars.
     """
     B = labels.shape[0]
     box_preds = preds_dict["box_preds"].reshape(B, -1, spec.box_code_size)
@@ -99,6 +146,14 @@ def compute_loss(spec: DetectorSpec, preds_dict, labels, reg_targets, anchors):
                              dtype=box_preds.dtype)
     if spec.encode_background_as_zeros:
         one_hot = one_hot[..., 1:]
+
+    iou_t = None
+    if (spec.use_iou_branch or spec.use_iou_param_partaa) and \
+            gt_boxes is not None:
+        iou_t = _iou_targets(spec, box_preds, labels, anchors, gt_boxes,
+                             gt_valid)
+        if spec.use_iou_param_partaa:
+            one_hot = one_hot * iou_t[..., None]
 
     bp, rt = box_preds, reg_targets
     if spec.encode_rad_error_by_sin:
@@ -123,6 +178,14 @@ def compute_loss(spec: DetectorSpec, preds_dict, labels, reg_targets, anchors):
         "cls_neg_loss": cls_neg,
         "num_pos": (labels > 0).sum(),
     }
+    if spec.use_iou_branch and iou_t is not None and \
+            "iou_preds" in preds_dict:
+        iou_preds = preds_dict["iou_preds"].reshape(B, -1, 1)
+        iou_losses = spec.iou_loss_fn(iou_preds, iou_t[..., None],
+                                      reg_weights)
+        iou_loss_reduced = iou_losses.sum() / B * spec.iou_loss_weight
+        loss = loss + iou_loss_reduced
+        out["iou_loss_reduced"] = iou_loss_reduced
     if spec.use_direction_classifier:
         dir_targets = box_ops.get_direction_target(anchors, reg_targets)
         dir_logits = preds_dict["dir_cls_preds"].reshape(B, -1, 2)
@@ -169,9 +232,17 @@ def predict(spec: DetectorSpec, preds_dict, anchors, anchors_mask=None):
     else:
         dir_labels = jnp.zeros((B, A), jnp.int32)
 
+    # IoU branch: threshold + NMS ranking use predicted IoU, reported scores
+    # stay classification scores (reference voxelnet_iou.py:613-635)
+    has_rank = spec.use_iou_branch and "iou_preds" in preds_dict
+    if has_rank:
+        rank_scores = jax.nn.sigmoid(preds_dict["iou_preds"].reshape(B, A))
+    else:
+        rank_scores = jnp.zeros((B, A))
+
     valid = jnp.ones((B, A), bool) if anchors_mask is None else anchors_mask
 
-    def one_example(boxes, scores_all, dir_labels, valid):
+    def one_example(boxes, scores_all, dir_labels, valid, rank):
         bev = boxes[:, [0, 1, 3, 4, 6]]
         if spec.use_multi_class_nms:
             idx_c, keep_c, sc_c = multiclass_nms(
@@ -199,10 +270,11 @@ def predict(spec: DetectorSpec, preds_dict, anchors, anchors_mask=None):
             else:
                 top_scores = scores_all.max(-1)
                 top_labels = scores_all.argmax(-1).astype(jnp.int32)
-            ok = valid & (top_scores >= spec.nms_score_threshold)
+            nms_scores = rank if has_rank else top_scores
+            ok = valid & (nms_scores >= spec.nms_score_threshold)
             nms_fn = nms if spec.use_rotate_nms else nearest_nms
             sel_idx, sel_keep = nms_fn(
-                bev, top_scores, ok, pre_max_size=spec.nms_pre_max_size,
+                bev, nms_scores, ok, pre_max_size=spec.nms_pre_max_size,
                 post_max_size=spec.nms_post_max_size,
                 iou_threshold=spec.nms_iou_threshold)
             sel_lab = top_labels[sel_idx]
@@ -222,7 +294,8 @@ def predict(spec: DetectorSpec, preds_dict, anchors, anchors_mask=None):
             sel_keep = sel_keep & inside
         return sel_boxes, sel_scores, sel_lab, sel_keep
 
-    b, s, l, k = jax.vmap(one_example)(boxes, scores_all, dir_labels, valid)
+    b, s, l, k = jax.vmap(one_example)(boxes, scores_all, dir_labels, valid,
+                                       rank_scores)
     return {"boxes": b, "scores": s, "labels": l, "valid": k}
 
 
@@ -256,4 +329,8 @@ def build_detector_spec(model_cfg) -> DetectorSpec:
             model_cfg.loss.classification_loss),
         loc_loss_fn=loss_lib.build_localization_loss(
             model_cfg.loss.localization_loss),
+        use_iou_branch=model_cfg.use_iou_branch,
+        use_iou_param_partaa=model_cfg.target_assigner.use_iou_param_partaa,
+        iou_loss_weight=model_cfg.loss.iou_loss_weight,
+        iou_loss_fn=loss_lib.build_classification_loss(model_cfg.loss.iou_loss),
     )

