@@ -21,24 +21,44 @@ from .rotated_iou import rotated_iou_matrix, standup_iou_matrix
 
 
 def _greedy_suppress(iou, valid, iou_threshold):
-    """Greedy NMS over boxes already sorted by descending score.
+    """Exact greedy NMS over boxes already sorted by descending score.
 
     iou: [K, K] pairwise overlap. valid: [K] candidate mask.
     Returns keep mask [K].
+
+    Computed by frontier iteration rather than a K-step sequential scan:
+    each round decides every box whose higher-scored overlapping boxes are
+    all already decided — a box is KEPT if none of its deciders were kept,
+    REMOVED otherwise. Rounds = depth of the suppression dependency chain
+    (typically ≈10 for detection workloads, worst case K), and each round is
+    two [K, K]·[K] contractions that run on the MXU — orders of magnitude
+    fewer sequential device steps than the naive per-box loop.
     """
     K = iou.shape[0]
-    over = iou > iou_threshold
+    # strictly-upper overlap matrix: over[j, i] = higher-ranked j suppresses i
+    upper = jnp.triu(jnp.ones((K, K), bool), k=1)
+    over = (iou > iou_threshold) & upper & valid[:, None] & valid[None, :]
+    over_f = over.astype(jnp.float32)
 
-    def body(i, state):
-        keep, suppressed = state
-        take = valid[i] & ~suppressed[i]
-        keep = keep.at[i].set(take)
-        suppressed = suppressed | (take & over[i])
-        return keep, suppressed
+    def cond(state):
+        undecided, _ = state
+        return undecided.any()
 
-    keep0 = jnp.zeros((K,), bool)
-    sup0 = jnp.zeros((K,), bool)
-    keep, _ = jax.lax.fori_loop(0, K, body, (keep0, sup0))
+    def body(state):
+        undecided, kept = state
+        u_f = undecided.astype(jnp.float32)
+        k_f = kept.astype(jnp.float32)
+        blocked = (u_f @ over_f) > 0.5       # a higher box is still undecided
+        suppressed = (k_f @ over_f) > 0.5    # a higher kept box overlaps
+        newly_kept = undecided & ~blocked & ~suppressed
+        newly_removed = undecided & suppressed
+        kept = kept | newly_kept
+        undecided = undecided & ~newly_kept & ~newly_removed
+        return undecided, kept
+
+    undecided0 = valid
+    kept0 = jnp.zeros((K,), bool)
+    _, keep = jax.lax.while_loop(cond, body, (undecided0, kept0))
     return keep
 
 
