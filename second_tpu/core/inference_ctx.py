@@ -1,0 +1,85 @@
+"""Framework-agnostic inference context.
+
+Equivalent of the reference's `second/core/inference.py:11-108`
+(`InferenceContext`: build from config, construct a single-example input from
+(points, calib, image shape) with a cached anchor grid, run the net, return
+detections) — here backed by the jitted eval path.
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import Dict, Optional
+
+import numpy as np
+
+
+class InferenceContext:
+    """Single-frame inference API over a trained checkpoint.
+
+    Usage:
+        ctx = InferenceContext(config_path)
+        ctx.build(model_dir)           # or ctx.build_synthetic() for tests
+        dets = ctx.inference(points)   # dict boxes/scores/labels (numpy)
+    """
+
+    def __init__(self, config_path):
+        from ..config import load_pipeline_config
+        self.config_path = config_path
+        self.cfg = load_pipeline_config(config_path)
+        self._built = False
+
+    def build(self, model_dir: Optional[str] = None, max_points=25000):
+        import jax
+        import jax.numpy as jnp
+        from ..data import ExamplePrep, PrepConfig
+        from ..models import build_voxelnet
+        from ..train import (TrainState, VoxelizeSpec, build_optimizer,
+                             make_eval_step)
+        from ..train.checkpoint import CheckpointManager
+
+        (self.module, self.spec, self.info, self.assigner,
+         self.coder) = build_voxelnet(self.cfg.model)
+        self.vspec = VoxelizeSpec.from_config(
+            self.cfg.model.voxel_generator,
+            self.cfg.eval_input_reader.max_number_of_voxels)
+        self.prep = ExamplePrep(self.assigner, self.info.feature_map_size,
+                                PrepConfig(max_points=max_points,
+                                           training=False))
+        tx, _ = build_optimizer(self.cfg.train_config.optimizer,
+                                self.cfg.train_config.steps)
+        dummy = {
+            "points": jnp.zeros((1, max_points, 4), jnp.float32),
+            "points_mask": jnp.zeros((1, max_points), bool),
+        }
+        self.state = TrainState.create(self.module, tx,
+                                       jax.random.PRNGKey(0), self.vspec,
+                                       dummy)
+        if model_dir is not None:
+            ckpt = CheckpointManager(model_dir)
+            restored = ckpt.try_restore_latest(self.state)
+            if restored is not None:
+                self.state = restored
+        self._eval_step = make_eval_step(self.spec, self.vspec)
+        self._built = True
+        return self
+
+    def get_inference_input_dict(self, points: np.ndarray,
+                                 rng=None) -> Dict:
+        """points [P, C] → batched fixed-shape example (anchor cache baked)."""
+        assert self._built
+        example = self.prep({"points": points, "image_idx": 0}, rng)
+        return self.prep.collate([example])
+
+    def inference(self, points: np.ndarray) -> Dict:
+        import jax.numpy as jnp
+        batch = self.get_inference_input_dict(points)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()
+              if k != "image_idx"}
+        det = self._eval_step(self.state, jb)
+        det = {k: np.asarray(v[0]) for k, v in det.items()}
+        keep = det["valid"]
+        return {"boxes": det["boxes"][keep], "scores": det["scores"][keep],
+                "labels": det["labels"][keep],
+                "class_names": [self.assigner.classes[i]
+                                for i in det["labels"][keep]]}

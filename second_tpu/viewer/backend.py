@@ -1,0 +1,117 @@
+"""Visualization / serving backend — JSON-over-HTTP inference server.
+
+Equivalent of the reference's kittiviewer Flask backend
+(`second/kittiviewer/backend.py:28-311`: `readinfo`, `get_pointcloud`,
+`build_network`, `inference_by_idx` REST endpoints consumed by the three.js
+frontend), built on the stdlib http.server (flask is not in this image).
+
+Endpoints (POST JSON):
+    /api/readinfo          {"info_path", "root_path"} → frame index list
+    /api/get_pointcloud    {"image_idx"} → points (+gt boxes if labeled)
+    /api/build_network     {"config_path", "model_dir"} → ok
+    /api/inference_by_idx  {"image_idx"} → detections
+    /api/inference_points  {"points": [[x,y,z,i], ...]} → detections
+
+Run:  python -m second_tpu.viewer.backend --port 16666
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+class BackendState:
+    def __init__(self):
+        self.dataset = None
+        self.ctx = None
+
+    # -- handlers -----------------------------------------------------------
+    def readinfo(self, req):
+        from ..data.kitti_dataset import KittiDataset
+        self.dataset = KittiDataset(req["info_path"], req["root_path"],
+                                    training=False)
+        idx = [info["image_idx"] for info in self.dataset.kitti_infos]
+        return {"image_indexes": idx}
+
+    def get_pointcloud(self, req):
+        scene = self.dataset[int(req["image_idx"])]
+        out = {"num_features": scene["points"].shape[1],
+               "pointcloud": scene["points"].round(3).tolist()}
+        if "gt_boxes" in scene:
+            out["gt_boxes"] = scene["gt_boxes"].tolist()
+            out["gt_names"] = list(map(str, scene["gt_names"]))
+        return out
+
+    def build_network(self, req):
+        from ..core.inference_ctx import InferenceContext
+        self.ctx = InferenceContext(req["config_path"])
+        self.ctx.build(req.get("model_dir"))
+        return {"ok": True}
+
+    def inference_by_idx(self, req):
+        scene = self.dataset[int(req["image_idx"])]
+        return self._detect(scene["points"])
+
+    def inference_points(self, req):
+        points = np.asarray(req["points"], np.float32)
+        return self._detect(points)
+
+    def _detect(self, points):
+        det = self.ctx.inference(points)
+        return {"dt_boxes": det["boxes"].round(3).tolist(),
+                "dt_scores": det["scores"].round(4).tolist(),
+                "dt_names": det["class_names"]}
+
+
+def make_handler(state: BackendState):
+    routes = {
+        "/api/readinfo": state.readinfo,
+        "/api/get_pointcloud": state.get_pointcloud,
+        "/api/build_network": state.build_network,
+        "/api/inference_by_idx": state.inference_by_idx,
+        "/api/inference_points": state.inference_points,
+    }
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            handler = routes.get(self.path)
+            if handler is None:
+                self.send_error(404)
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                result = handler(req)
+                body = json.dumps({"status": "ok", **result}).encode()
+                self.send_response(200)
+            except Exception as e:      # surfaced to the client, not fatal
+                body = json.dumps({"status": "error",
+                                   "message": str(e)}).encode()
+                self.send_response(500)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Access-Control-Allow-Origin", "*")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, fmt, *args):
+            pass
+
+    return Handler
+
+
+def serve(port=16666):
+    server = ThreadingHTTPServer(("0.0.0.0", port),
+                                 make_handler(BackendState()))
+    print(f"viewer backend listening on :{port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--port", type=int, default=16666)
+    serve(parser.parse_args().port)
