@@ -169,6 +169,7 @@ def create_kitti_info_file(data_path, save_path=None, relative_path=True):
 
 
 def _add_num_points_in_gt(root, info):
+    from .. import runtime
     points = kitti.read_velodyne(pathlib.Path(root) / info["velodyne_path"])
     rect = info["calib/R0_rect"]
     Trv2c = info["calib/Tr_velo_to_cam"]
@@ -181,7 +182,7 @@ def _add_num_points_in_gt(root, info):
         [annos["location"][keep], annos["dimensions"][keep],
          annos["rotation_y"][keep][:, None]], axis=1)
     gt_boxes = box_np.box_camera_to_lidar(cam_boxes, rect, Trv2c)
-    inside = box_np.points_in_rbbox(points, gt_boxes)
+    inside = runtime.points_in_rbbox(points, gt_boxes)
     counts = inside.sum(0)
     annos["num_points_in_gt"] = np.concatenate(
         [counts, -np.ones(int((~keep).sum()), counts.dtype)]).astype(np.int32)
@@ -239,7 +240,8 @@ def create_groundtruth_database(data_path, info_path=None, save_path=None,
             [annos["location"][keep], annos["dimensions"][keep],
              annos["rotation_y"][keep][:, None]], axis=1)
         gt_boxes = box_np.box_camera_to_lidar(cam_boxes, rect, Trv2c)
-        inside = box_np.points_in_rbbox(points, gt_boxes)
+        from .. import runtime
+        inside = runtime.points_in_rbbox(points, gt_boxes)
         for i, name in enumerate(names):
             if used_classes is not None and name not in used_classes:
                 continue
