@@ -39,7 +39,7 @@ def _rpn_out_stride(rpn_cfg: schema.RPNConfig) -> int:
     return int(factors[0])
 
 
-def build_voxelnet(cfg: schema.ModelConfig):
+def build_voxelnet(cfg: schema.ModelConfig, mixed_precision: bool = False):
     """Returns (module, spec, info, target_assigner, box_coder)."""
     vg = cfg.voxel_generator
     nx, ny, nz = vg.grid_size
@@ -77,6 +77,7 @@ def build_voxelnet(cfg: schema.ModelConfig):
         vfe_kwargs["pc_range"] = tuple(vg.point_cloud_range)
 
     rpn_kwargs = {
+        "dtype": "bfloat16" if mixed_precision else None,
         "layer_nums": tuple(cfg.rpn.layer_nums),
         "layer_strides": tuple(cfg.rpn.layer_strides),
         "num_filters": tuple(cfg.rpn.num_filters),

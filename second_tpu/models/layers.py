@@ -11,14 +11,18 @@ Conventions (TPU-first):
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
 
 
 class ConvBlock(nn.Module):
-    """Conv2D → (BatchNorm | GroupNorm | none) → ReLU."""
+    """Conv2D → (BatchNorm | GroupNorm | none) → ReLU.
+
+    `dtype` is the compute dtype (bf16 under mixed precision); params and
+    normalization statistics stay fp32.
+    """
     features: int
     kernel_size: int = 3
     stride: int = 1
@@ -27,12 +31,13 @@ class ConvBlock(nn.Module):
     use_groupnorm: bool = False
     num_groups: int = 32
     act: Callable = nn.relu
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
                     strides=(self.stride, self.stride), padding=self.padding,
-                    use_bias=not self.use_norm)(x)
+                    use_bias=not self.use_norm, dtype=self.dtype)(x)
         if self.use_norm:
             if self.use_groupnorm:
                 x = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-3)(x)
@@ -49,13 +54,14 @@ class DeconvBlock(nn.Module):
     use_norm: bool = True
     use_groupnorm: bool = False
     num_groups: int = 32
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.ConvTranspose(
             self.features, (self.stride, self.stride),
             strides=(self.stride, self.stride), padding="VALID",
-            use_bias=not self.use_norm)(x)
+            use_bias=not self.use_norm, dtype=self.dtype)(x)
         if self.use_norm:
             if self.use_groupnorm:
                 x = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-3)(x)

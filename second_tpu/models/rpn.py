@@ -13,7 +13,7 @@ Outputs keep the reference's anchor layout: the head axis is ordered
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -31,6 +31,7 @@ class RPNBase(nn.Module):
     use_norm: bool = True
     use_groupnorm: bool = False
     num_groups: int = 32
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -38,26 +39,36 @@ class RPNBase(nn.Module):
                 == len(self.num_filters) == len(self.upsample_strides)
                 == len(self.num_upsample_filters))
         ups = []
+        dtype = jnp.dtype(self.dtype) if self.dtype is not None else None
+        if dtype is not None:
+            x = x.astype(dtype)
         for i, n_layers in enumerate(self.layer_nums):
             x = ConvBlock(self.num_filters[i], 3, self.layer_strides[i],
                           use_norm=self.use_norm,
                           use_groupnorm=self.use_groupnorm,
-                          num_groups=self.num_groups)(x, train)
+                          num_groups=self.num_groups, dtype=dtype)(x, train)
             for _ in range(n_layers):
                 x = ConvBlock(self.num_filters[i], 3, 1,
                               use_norm=self.use_norm,
                               use_groupnorm=self.use_groupnorm,
-                              num_groups=self.num_groups)(x, train)
+                              num_groups=self.num_groups,
+                              dtype=dtype)(x, train)
             ups.append(DeconvBlock(self.num_upsample_filters[i],
                                    self.upsample_strides[i],
                                    use_norm=self.use_norm,
                                    use_groupnorm=self.use_groupnorm,
-                                   num_groups=self.num_groups)(x, train))
-        return jnp.concatenate(ups, axis=-1) if len(ups) > 1 else ups[0]
+                                   num_groups=self.num_groups,
+                                   dtype=dtype)(x, train))
+        out = jnp.concatenate(ups, axis=-1) if len(ups) > 1 else ups[0]
+        return out
 
 
 class RPNHead(nn.Module):
-    """1×1 cls / box / direction heads over a trunk feature map."""
+    """1×1 cls / box / direction heads over a trunk feature map.
+
+    Head outputs are always fp32 (decode/loss numerics) regardless of the
+    trunk compute dtype.
+    """
     num_class: int = 1
     num_anchor_per_loc: int = 2
     box_code_size: int = 7
@@ -66,6 +77,7 @@ class RPNHead(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        x = x.astype(jnp.float32)
         num_cls = self.num_anchor_per_loc * (
             self.num_class if self.encode_background_as_zeros
             else self.num_class + 1)
@@ -94,13 +106,14 @@ class RPN(nn.Module):
     use_norm: bool = True
     use_groupnorm: bool = False
     num_groups: int = 32
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         trunk = RPNBase(self.layer_nums, self.layer_strides, self.num_filters,
                         self.upsample_strides, self.num_upsample_filters,
                         self.use_norm, self.use_groupnorm, self.num_groups,
-                        name="trunk")(x, train)
+                        self.dtype, name="trunk")(x, train)
         out = RPNHead(self.num_class, self.num_anchor_per_loc,
                       self.box_code_size, self.encode_background_as_zeros,
                       self.use_direction_classifier, name="head")(trunk)

@@ -69,7 +69,9 @@ class Trainer:
         shutil.copy(config_path, self.model_dir / "pipeline.config")
 
         (self.module, self.spec, self.info, self.assigner,
-         self.coder) = build_voxelnet(self.cfg.model)
+         self.coder) = build_voxelnet(
+            self.cfg.model,
+            mixed_precision=self.cfg.train_config.enable_mixed_precision)
         self.vspec = VoxelizeSpec.from_config(
             self.cfg.model.voxel_generator,
             self.cfg.train_input_reader.max_number_of_voxels)
