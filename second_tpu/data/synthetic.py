@@ -79,3 +79,51 @@ class SyntheticDataset:
             "image_idx": idx,
             "calib": None,
         }
+
+
+def sample_sequence(rng: np.random.Generator, num_frames: int = 4, *,
+                    pc_range=(0.0, -39.68, -3.0, 69.12, 39.68, 1.0),
+                    num_cars=(3, 8), points_per_car=(60, 300),
+                    num_ground=8000, ground_z=-1.73, dt=0.1):
+    """Synthetic KITTI-tracking-like sequence: cars move with constant
+    velocity across frames; per-frame points are regenerated around the moved
+    boxes. Returns a list of (points, gt_boxes, gt_names, track_ids)."""
+    points0, boxes0, names0 = sample_scene(
+        rng, pc_range=pc_range, num_cars=num_cars,
+        points_per_car=points_per_car, num_ground=num_ground,
+        ground_z=ground_z)
+    n = len(boxes0)
+    vel = rng.uniform(-8, 8, (n, 2))        # m/s in xy
+    track_ids = np.arange(n, dtype=np.int64)
+    frames = []
+    for t in range(num_frames):
+        boxes = boxes0.copy()
+        boxes[:, 0] += vel[:, 0] * dt * t
+        boxes[:, 1] += vel[:, 1] * dt * t
+        keep = ((boxes[:, 0] > pc_range[0] + 2) &
+                (boxes[:, 0] < pc_range[3] - 2) &
+                (boxes[:, 1] > pc_range[1] + 2) &
+                (boxes[:, 1] < pc_range[4] - 2))
+        boxes = boxes[keep]
+        pts = []
+        for b in boxes:
+            m = int(rng.integers(points_per_car[0], points_per_car[1] + 1))
+            local = rng.uniform(-0.5, 0.5, (m, 3)) * b[3:6]
+            local[:, 2] += b[5] / 2
+            c, s = np.cos(b[6]), np.sin(b[6])
+            pts.append(np.stack([local[:, 0] * c - local[:, 1] * s + b[0],
+                                 local[:, 0] * s + local[:, 1] * c + b[1],
+                                 local[:, 2] + b[2]], 1))
+        pts.append(np.stack([
+            rng.uniform(pc_range[0], pc_range[3], num_ground),
+            rng.uniform(pc_range[1], pc_range[4], num_ground),
+            rng.normal(ground_z, 0.03, num_ground)], 1))
+        points = np.concatenate(pts).astype(np.float32)
+        intensity = rng.uniform(0, 1, (len(points), 1)).astype(np.float32)
+        frames.append({
+            "points": np.concatenate([points, intensity], 1),
+            "gt_boxes": boxes.astype(np.float32),
+            "gt_names": np.array(["Car"] * len(boxes)),
+            "track_ids": track_ids[keep],
+        })
+    return frames
