@@ -48,10 +48,9 @@ class ExamplePrep:
     def num_anchors(self) -> int:
         return self._anchors.shape[0]
 
-    def __call__(self, scene: Dict, rng: Optional[np.random.Generator] = None
-                 ) -> Dict:
+    def pad_points(self, points, rng: Optional[np.random.Generator] = None):
+        """Pad/subsample raw points to the fixed capacity."""
         rng = rng or np.random.default_rng()
-        points = scene["points"]
         P = self._prep.max_points
         if self._prep.shuffle_points or len(points) > P:
             sel = rng.permutation(len(points))[:P]
@@ -61,11 +60,21 @@ class ExamplePrep:
         padded[:n] = points
         mask = np.zeros((P,), bool)
         mask[:n] = True
+        return padded, mask
+
+    def __call__(self, scene: Dict, rng: Optional[np.random.Generator] = None
+                 ) -> Dict:
+        rng = rng or np.random.default_rng()
+        padded, mask = self.pad_points(scene["points"], rng)
         example = {
             "points": padded,
             "points_mask": mask,
             "image_idx": scene.get("image_idx", -1),
         }
+        if "p_points" in scene:   # temporal pairs (reference p_* keys)
+            p_padded, p_mask = self.pad_points(scene["p_points"], rng)
+            example["p_points"] = p_padded
+            example["p_points_mask"] = p_mask
         if self._prep.training:
             gt_boxes = scene["gt_boxes"].astype(np.float64)
             gt_names = scene["gt_names"]
@@ -94,8 +103,8 @@ class ExamplePrep:
     def collate(self, examples: List[Dict]) -> Dict:
         """Stack examples + broadcast the anchor cache."""
         batch = {}
-        for key in ("points", "points_mask", "labels", "reg_targets",
-                    "gt_boxes_padded", "gt_valid"):
+        for key in ("points", "points_mask", "p_points", "p_points_mask",
+                    "labels", "reg_targets", "gt_boxes_padded", "gt_valid"):
             if key in examples[0]:
                 batch[key] = np.stack([e[key] for e in examples])
         batch["anchors"] = np.broadcast_to(

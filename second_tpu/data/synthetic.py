@@ -127,3 +127,30 @@ def sample_sequence(rng: np.random.Generator, num_frames: int = 4, *,
             "track_ids": track_ids[keep],
         })
     return frames
+
+
+class SyntheticPairDataset:
+    """Synthetic (cur, prev) frame pairs for the temporal model — the stand-in
+    for the KITTI-tracking dataset's `p_*` example keys."""
+
+    def __init__(self, size=128, seed=0, **seq_kwargs):
+        self._size = size
+        self._seed = seed
+        self._kwargs = seq_kwargs
+
+    def __len__(self):
+        return self._size
+
+    def __getitem__(self, idx):
+        rng = np.random.default_rng(self._seed * 99991 + idx)
+        prev, cur = sample_sequence(rng, num_frames=2, **self._kwargs)
+        return {
+            "points": cur["points"],
+            "gt_boxes": cur["gt_boxes"],
+            "gt_names": cur["gt_names"],
+            "track_ids": cur["track_ids"],
+            "p_points": prev["points"],
+            "p_gt_boxes": prev["gt_boxes"],
+            "image_idx": idx,
+            "calib": None,
+        }

@@ -61,17 +61,29 @@ def _synthetic_lidar_to_camera_annos(boxes, names=None, scores=None):
 
 class Trainer:
     def __init__(self, config_path, model_dir, synthetic=False,
-                 dataset_size=256, max_points=20000, total_steps=None):
+                 dataset_size=256, max_points=20000, total_steps=None,
+                 model_type="one_stage"):
+        assert model_type in ("one_stage", "two_stage", "temporal")
+        self.model_type = model_type
         self.cfg = load_pipeline_config(config_path)
         self.model_dir = pathlib.Path(model_dir)
         self.model_dir.mkdir(parents=True, exist_ok=True)
         # keep the resolved config beside the run (reference train.py:114-122)
         shutil.copy(config_path, self.model_dir / "pipeline.config")
 
-        (self.module, self.spec, self.info, self.assigner,
-         self.coder) = build_voxelnet(
-            self.cfg.model,
-            mixed_precision=self.cfg.train_config.enable_mixed_precision)
+        if model_type == "one_stage":
+            (self.module, self.spec, self.info, self.assigner,
+             self.coder) = build_voxelnet(
+                self.cfg.model,
+                mixed_precision=self.cfg.train_config.enable_mixed_precision)
+        elif model_type == "two_stage":
+            from ..models.detector_two_stage import build_two_stage_voxelnet
+            (self.module, self.spec, self.info, self.assigner,
+             self.coder) = build_two_stage_voxelnet(self.cfg.model)
+        else:
+            from ..models.temporal import build_temporal_voxelnet
+            (self.module, self.spec, self.info, self.assigner,
+             self.coder) = build_temporal_voxelnet(self.cfg.model)
         self.vspec = VoxelizeSpec.from_config(
             self.cfg.model.voxel_generator,
             self.cfg.train_input_reader.max_number_of_voxels)
@@ -83,10 +95,17 @@ class Trainer:
         self.synthetic = synthetic
         if synthetic:
             pc_range = tuple(self.cfg.model.voxel_generator.point_cloud_range)
-            self.train_ds = SyntheticDataset(dataset_size, seed=1,
-                                             pc_range=pc_range)
-            self.eval_ds = SyntheticDataset(max(32, dataset_size // 8),
-                                            seed=2, pc_range=pc_range)
+            if model_type == "temporal":
+                from ..data.synthetic import SyntheticPairDataset
+                self.train_ds = SyntheticPairDataset(dataset_size, seed=1,
+                                                     pc_range=pc_range)
+                self.eval_ds = SyntheticPairDataset(max(32, dataset_size // 8),
+                                                    seed=2, pc_range=pc_range)
+            else:
+                self.train_ds = SyntheticDataset(dataset_size, seed=1,
+                                                 pc_range=pc_range)
+                self.eval_ds = SyntheticDataset(max(32, dataset_size // 8),
+                                                seed=2, pc_range=pc_range)
         else:
             from ..data.kitti_dataset import KittiDataset
             self.train_ds = KittiDataset(
@@ -103,8 +122,17 @@ class Trainer:
         self.total_steps = total_steps or self.cfg.train_config.steps
         self.tx, self.lr_sched = build_optimizer(
             self.cfg.train_config.optimizer, self.total_steps)
-        self.train_step = make_train_step(self.spec, self.vspec)
-        self.eval_step = make_eval_step(self.spec, self.vspec)
+        if model_type == "one_stage":
+            self.train_step = make_train_step(self.spec, self.vspec)
+            self.eval_step = make_eval_step(self.spec, self.vspec)
+        elif model_type == "two_stage":
+            from .steps_multistage import make_two_stage_steps
+            self.train_step, self.eval_step = make_two_stage_steps(
+                self.spec, self.vspec)
+        else:
+            from .steps_multistage import make_temporal_steps
+            self.train_step, self.eval_step = make_temporal_steps(
+                self.spec, self.vspec)
         self.ckpt = CheckpointManager(self.model_dir)
         self.logger = MetricsLogger(self.model_dir)
         self.timer = StageTimer()
@@ -125,8 +153,20 @@ class Trainer:
                    if k != "image_idx"}
 
     def _init_state(self, batch):
-        state = TrainState.create(self.module, self.tx,
-                                  jax.random.PRNGKey(0), self.vspec, batch)
+        if self.model_type == "one_stage":
+            state = TrainState.create(self.module, self.tx,
+                                      jax.random.PRNGKey(0), self.vspec,
+                                      batch)
+        elif self.model_type == "two_stage":
+            from .steps_multistage import create_two_stage_state
+            state = create_two_stage_state(self.module, self.tx,
+                                           jax.random.PRNGKey(0), self.vspec,
+                                           batch)
+        else:
+            from .steps_multistage import create_temporal_state
+            state = create_temporal_state(self.module, self.tx,
+                                          jax.random.PRNGKey(0), self.vspec,
+                                          batch)
         restored = self.ckpt.try_restore_latest(state)
         if restored is not None:
             state = restored
@@ -240,10 +280,12 @@ def main():
     parser.add_argument("--dataset_size", type=int, default=256)
     parser.add_argument("--max_points", type=int, default=20000)
     parser.add_argument("--max_frames", type=int, default=None)
+    parser.add_argument("--model_type", default="one_stage",
+                        choices=["one_stage", "two_stage", "temporal"])
     args = parser.parse_args()
     trainer = Trainer(args.config_path, args.model_dir, args.synthetic,
                       args.dataset_size, args.max_points,
-                      total_steps=args.steps)
+                      total_steps=args.steps, model_type=args.model_type)
     if args.command == "train":
         trainer.train(args.steps)
     else:

@@ -1,0 +1,162 @@
+"""Jitted train/eval steps for the two-stage and temporal detectors.
+
+The multi-stage analog of `train/state.py` — the reference's
+`train_2st_spatio.py` loop body (stage-1 + stage-2 joint loss over one or two
+voxelized frames) as donated jitted functions.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import optax
+
+from ..models.detector import DetectorSpec
+from ..models.detector_two_stage import (compute_two_stage_loss,
+                                         predict_two_stage)
+from .state import TrainState, VoxelizeSpec, device_voxelize
+
+
+def _metrics(loss, aux, grads):
+    out = {
+        "loss": loss,
+        "cls_loss": aux["cls_loss_reduced"],
+        "loc_loss": aux["loc_loss_reduced"],
+        "second_cls_loss": aux["second_cls_loss_reduced"],
+        "second_loc_loss": aux["second_loc_loss_reduced"],
+        "num_pos": aux["num_pos"],
+        "second_num_pos": aux["second_num_pos"],
+        "grad_norm": optax.global_norm(grads),
+    }
+    if "dir_loss_reduced" in aux:
+        out["dir_loss"] = aux["dir_loss_reduced"]
+    return out
+
+
+def make_two_stage_steps(spec: DetectorSpec, vspec: VoxelizeSpec):
+    """(train_step, eval_step) for TwoStageVoxelNet batches."""
+
+    def forward(params, batch_stats, apply_fn, batch, train):
+        vox = device_voxelize(vspec, batch["points"], batch["points_mask"])
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            return apply_fn(variables, vox["voxels"], vox["num_points"],
+                            vox["coordinates"], vox["voxel_valid"],
+                            batch["anchors"], train=True,
+                            mutable=["batch_stats"])
+        return apply_fn(variables, vox["voxels"], vox["num_points"],
+                        vox["coordinates"], vox["voxel_valid"],
+                        batch["anchors"], train=False), None
+
+    def loss_fn(params, batch_stats, apply_fn, batch):
+        preds, mutated = forward(params, batch_stats, apply_fn, batch, True)
+        loss_dict = compute_two_stage_loss(
+            spec, preds, batch["labels"], batch["reg_targets"],
+            batch["anchors"])
+        return loss_dict["loss"], (loss_dict, mutated["batch_stats"])
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Dict):
+        (loss, (aux, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                   state.apply_fn, batch)
+        updates, new_opt = state.tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        return new_state, _metrics(loss, aux, grads)
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: Dict):
+        preds, _ = forward(state.params, state.batch_stats, state.apply_fn,
+                           batch, False)
+        return predict_two_stage(spec, preds, batch["anchors"])
+
+    return train_step, eval_step
+
+
+def make_temporal_steps(spec: DetectorSpec, vspec: VoxelizeSpec):
+    """(train_step, eval_step) for TemporalVoxelNet batches.
+
+    Batches carry the previous frame under `p_points`/`p_points_mask`
+    (the reference's `p_voxels`/`p_coordinates` example keys, spatio
+    `:666-677`).
+    """
+
+    def forward(params, batch_stats, apply_fn, batch, train):
+        cur = device_voxelize(vspec, batch["points"], batch["points_mask"])
+        prev = device_voxelize(vspec, batch["p_points"],
+                               batch["p_points_mask"])
+        cur = {k: cur[k] for k in ("voxels", "num_points", "coordinates",
+                                   "voxel_valid")}
+        prev = {k: prev[k] for k in ("voxels", "num_points", "coordinates",
+                                     "voxel_valid")}
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            return apply_fn(variables, cur, prev, batch["anchors"],
+                            train=True, mutable=["batch_stats"])
+        return apply_fn(variables, cur, prev, batch["anchors"],
+                        train=False), None
+
+    def loss_fn(params, batch_stats, apply_fn, batch):
+        preds, mutated = forward(params, batch_stats, apply_fn, batch, True)
+        loss_dict = compute_two_stage_loss(
+            spec, preds, batch["labels"], batch["reg_targets"],
+            batch["anchors"])
+        return loss_dict["loss"], (loss_dict, mutated["batch_stats"])
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Dict):
+        (loss, (aux, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                   state.apply_fn, batch)
+        updates, new_opt = state.tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        return new_state, _metrics(loss, aux, grads)
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: Dict):
+        preds, _ = forward(state.params, state.batch_stats, state.apply_fn,
+                           batch, False)
+        return predict_two_stage(spec, preds, batch["anchors"])
+
+    return train_step, eval_step
+
+
+def create_two_stage_state(module, tx, rng, vspec, example_batch):
+    """TrainState for modules whose apply takes (..., anchors)."""
+    import jax.numpy as jnp
+    from flax import core as flax_core
+    vox = device_voxelize(vspec, example_batch["points"],
+                          example_batch["points_mask"])
+    variables = module.init(rng, vox["voxels"], vox["num_points"],
+                            vox["coordinates"], vox["voxel_valid"],
+                            example_batch["anchors"], train=False)
+    params = variables["params"]
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=variables.get("batch_stats", {}),
+                      opt_state=tx.init(params), tx=tx,
+                      apply_fn=module.apply)
+
+
+def create_temporal_state(module, tx, rng, vspec, example_batch):
+    import jax.numpy as jnp
+    cur = device_voxelize(vspec, example_batch["points"],
+                          example_batch["points_mask"])
+    prev = device_voxelize(vspec, example_batch["p_points"],
+                           example_batch["p_points_mask"])
+    keys = ("voxels", "num_points", "coordinates", "voxel_valid")
+    variables = module.init(rng, {k: cur[k] for k in keys},
+                            {k: prev[k] for k in keys},
+                            example_batch["anchors"], train=False)
+    params = variables["params"]
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=variables.get("batch_stats", {}),
+                      opt_state=tx.init(params), tx=tx,
+                      apply_fn=module.apply)
