@@ -61,6 +61,51 @@ def lookup(keys_sorted, query_keys, query_valid):
     return idx, found
 
 
+def lookup_many(keys_sorted, query_keys, query_valid, block: int = 128):
+    """Batch lookup of [K, Q] query sets via two-level bucketed search.
+
+    XLA's `searchsorted` lowers to a per-element binary-search loop whose
+    scalar gathers are ~20x slower on TPU than wide row gathers, and a full
+    sort-join is bottlenecked by XLA's sort. Instead: the sorted key array is
+    viewed as [N/block, block]; level 1 finds each query's bucket by
+    broadcast-comparing against the N/block bucket minima (pure VPU, no
+    gather), level 2 row-gathers the whole bucket (wide, lane-vectorized) and
+    resolves the exact slot with an in-register compare+argmax.
+    Returns (idx [K, Q] int32, found [K, Q] bool).
+    """
+    K, Q = query_keys.shape
+    N = keys_sorted.shape[0]
+    while N % block:
+        block //= 2
+    nb = N // block
+    q = query_keys.reshape(-1)                       # [KQ]
+    pivots = keys_sorted[::block]                    # [nb] bucket minima
+    # level 1: bucket index = (# pivots <= q) - 1, clamped
+    ge = (q[:, None] >= pivots[None, :])             # [KQ, nb] VPU compare
+    bucket = jnp.clip(ge.sum(-1) - 1, 0, nb - 1).astype(jnp.int32)
+    # level 2: select the bucket's keys with a one-hot MXU matmul instead of
+    # a row gather (XLA TPU gathers serialize; a [KQ, nb]x[nb, block] matmul
+    # does not). Keys exceed fp32's exact-integer range, so hi/lo 16-bit
+    # halves are selected separately — one-hot selection is exact for values
+    # < 2^24.
+    onehot = (jnp.arange(nb, dtype=jnp.int32)[None, :] ==
+              bucket[:, None]).astype(jnp.float32)   # [KQ, nb]
+    keys2d = keys_sorted.reshape(nb, block)
+    hi = (keys2d >> 16).astype(jnp.float32)
+    lo = (keys2d & 0xFFFF).astype(jnp.float32)
+    rows_hi = jax.lax.dot(onehot, hi,
+                          precision=jax.lax.Precision.HIGHEST)
+    rows_lo = jax.lax.dot(onehot, lo,
+                          precision=jax.lax.Precision.HIGHEST)
+    rows = (rows_hi.astype(jnp.int32) << 16) | rows_lo.astype(jnp.int32)
+    eq = rows == q[:, None]
+    slot = eq.argmax(-1).astype(jnp.int32)
+    found = eq.any(-1)
+    idx = bucket * block + slot
+    return (idx.reshape(K, Q),
+            found.reshape(K, Q) & query_valid)
+
+
 def _offsets(kernel_size: Tuple[int, int, int]) -> np.ndarray:
     return np.array(list(itertools.product(
         *(range(k) for k in kernel_size))), np.int32)  # [K, 3] zyx
@@ -80,18 +125,15 @@ def subm_conv3d(features, coords, keys_sorted, valid, grid_dhw, weights,
     grid = np.array(grid_dhw, np.int32)
     sen = sentinel(grid_dhw)
 
-    gathered = []
+    qks, inbs = [], []
     for o in range(K):
-        off = offs[o]
-        if (off == 0).all():
-            g = jnp.where(valid[:, None], features, 0.0)
-        else:
-            nc = coords + off
-            inb = ((nc >= 0) & (nc < grid)).all(-1) & valid
-            qk = jnp.where(inb, linearize(nc, grid_dhw), sen)
-            idx, found = lookup(keys_sorted, qk, inb)
-            g = jnp.where(found[:, None], features[idx], 0.0)
-        gathered.append(g)
+        nc = coords + offs[o]
+        inb = ((nc >= 0) & (nc < grid)).all(-1) & valid
+        qks.append(jnp.where(inb, linearize(nc, grid_dhw), sen))
+        inbs.append(inb)
+    idx, found = lookup_many(keys_sorted, jnp.stack(qks), jnp.stack(inbs))
+    gathered = [jnp.where(found[o][:, None], features[idx[o]], 0.0)
+                for o in range(K)]
     stacked = jnp.stack(gathered)                       # [K, N, Cin]
     out = jnp.einsum("knc,kcd->nd", stacked, weights,
                      preferred_element_type=jnp.float32)
@@ -172,13 +214,15 @@ def sparse_conv3d(features, coords, keys_sorted, valid, grid_dhw, weights,
     offs = _offsets(tuple(kernel_size.tolist()))
     K = offs.shape[0]
 
-    gathered = []
+    qks, inbs = [], []
     for o in range(K):
         ic = out_coords * stride - padding + offs[o]
         inb = ((ic >= 0) & (ic < grid)).all(-1) & out_valid
-        qk = jnp.where(inb, linearize(ic, grid_dhw), sen)
-        idx, found = lookup(keys_sorted, qk, inb)
-        gathered.append(jnp.where(found[:, None], features[idx], 0.0))
+        qks.append(jnp.where(inb, linearize(ic, grid_dhw), sen))
+        inbs.append(inb)
+    idx, found = lookup_many(keys_sorted, jnp.stack(qks), jnp.stack(inbs))
+    gathered = [jnp.where(found[o][:, None], features[idx[o]], 0.0)
+                for o in range(K)]
     stacked = jnp.stack(gathered)                       # [K, M, Cin]
     out = jnp.einsum("knc,kcd->nd", stacked, weights,
                      preferred_element_type=jnp.float32)
