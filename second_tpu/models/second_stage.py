@@ -52,7 +52,13 @@ def select_proposals(pspec: ProposalSpec, spec: DetectorSpec, preds_dict,
     nc = spec.num_class if spec.encode_background_as_zeros \
         else spec.num_class + 1
     cls_preds = preds_dict["cls_preds"].reshape(B, A, nc)
-    boxes = box_ops.second_box_decode(box_preds, anchors)
+    # clamp dim encodings so exp() stays finite for untrained/diverged nets —
+    # inf-sized proposals would NaN the ROI bilinear sampling downstream
+    safe = jnp.concatenate(
+        [box_preds[..., :3],
+         jnp.clip(box_preds[..., 3:6], -10.0, 6.0),
+         box_preds[..., 6:]], axis=-1)
+    boxes = box_ops.second_box_decode(safe, anchors)
     scores = jax.nn.sigmoid(cls_preds).max(-1)
 
     def one(boxes_i, scores_i, box_preds_i, cls_preds_i):

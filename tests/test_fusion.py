@@ -84,3 +84,52 @@ class TestFusionRPN:
 
         g = jax.grad(f)(jnp.ones((1, 32, 32, 3)))
         assert float(jnp.abs(g).sum()) > 0
+
+
+class TestFusionTwoStage:
+    def test_forward_loss_predict(self):
+        from second_tpu.testing import tiny_pipeline_config, tiny_scene_kwargs
+        from second_tpu.models.detector_fusion_two_stage import (
+            build_fusion_two_stage_voxelnet, compute_fusion_two_stage_loss,
+            predict_fusion_two_stage)
+        from second_tpu.train.state import VoxelizeSpec, device_voxelize
+        from second_tpu.data import ExamplePrep, PrepConfig
+        from second_tpu.data.synthetic import sample_scene
+
+        cfg = tiny_pipeline_config()
+        module, spec, info, assigner, coder = build_fusion_two_stage_voxelnet(
+            cfg.model, num_proposals=32)
+        vspec = VoxelizeSpec.from_config(cfg.model.voxel_generator, 512)
+        prep = ExamplePrep(assigner, info.feature_map_size,
+                           PrepConfig(max_points=2000, training=True))
+        rng = np.random.default_rng(0)
+        exs = []
+        for i in range(2):
+            p, b, n = sample_scene(np.random.default_rng(i),
+                                   **tiny_scene_kwargs())
+            exs.append(prep({"points": p, "gt_boxes": b, "gt_names": n,
+                             "image_idx": i}, rng))
+        batch = prep.collate(exs)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()
+              if k != "image_idx"}
+        vox = device_voxelize(vspec, jb["points"], jb["points_mask"])
+        B = 2
+        image = jnp.zeros((B, 64, 96, 3))
+        P = jb["points"].shape[1]
+        pix = jnp.zeros((B, P, 2), jnp.int32)
+        pbev = jnp.zeros((B, P, 2), jnp.int32)
+        pval = jb["points_mask"]
+        variables = module.init(
+            jax.random.PRNGKey(0), vox["voxels"], vox["num_points"],
+            vox["coordinates"], vox["voxel_valid"], image, pix, pbev, pval,
+            jb["anchors"], train=False)
+        preds = module.apply(
+            variables, vox["voxels"], vox["num_points"], vox["coordinates"],
+            vox["voxel_valid"], image, pix, pbev, pval, jb["anchors"],
+            train=False)
+        assert preds["second_box_preds"].shape == (B, 32, 7)
+        loss = compute_fusion_two_stage_loss(
+            spec, preds, jb["labels"], jb["reg_targets"], jb["anchors"])
+        assert np.isfinite(float(loss["loss"]))
+        det = predict_fusion_two_stage(spec, preds, jb["anchors"])
+        assert det["boxes"].shape[-1] == 7
