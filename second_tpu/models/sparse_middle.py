@@ -74,6 +74,38 @@ class SubMBlock(nn.Module):
         return nn.relu(out) * valid[..., None]
 
 
+class SparseBasicBlock(nn.Module):
+    """Residual submanifold block: two SubMConv3d(k=3) with masked BN and a
+    skip connection (reference `resnet.py:18-52` SparseBasicBlock)."""
+    features: int
+    grid_dhw: Tuple[int, int, int]
+    use_norm: bool = True
+
+    @nn.compact
+    def __call__(self, feats, coords, keys, valid, train: bool = False):
+        cin = feats.shape[-1]
+        residual = feats
+        if cin != self.features:
+            w0 = self.param("proj", nn.initializers.variance_scaling(
+                1.0, "fan_in", "normal"), (cin, self.features))
+            residual = feats @ w0
+        out = feats
+        for i in range(2):
+            cin_i = out.shape[-1]
+            w = self.param(f"kernel{i}", nn.initializers.variance_scaling(
+                1.0, "fan_in", "normal"), (27, cin_i, self.features))
+            conv = jax.vmap(
+                lambda f, c, k, v: sp.subm_conv3d(f, c, k, v, self.grid_dhw,
+                                                  w))
+            out = conv(out, coords, keys, valid)
+            if self.use_norm:
+                out = MaskedBatchNorm()(out, valid, train)
+            if i == 0:
+                out = nn.relu(out)
+        out = nn.relu(out + residual)
+        return out * valid[..., None]
+
+
 class DownBlock(nn.Module):
     """SparseConv3d(stride) → masked BN → ReLU; emits a new active set."""
     features: int
@@ -204,5 +236,50 @@ class SparseMiddleFHDLite(nn.Module):
         return dense.transpose(0, 2, 3, 1, 4).reshape(B_, H, W, D * C)
 
 
+class SparseMiddleResNetFHD(nn.Module):
+    """SpMiddleResNetFHD-equivalent: residual submanifold blocks between the
+    fhd downsampling stages (reference `middle.py:795-870`)."""
+    output_shape: Sequence[int]
+    num_input_features: int = 4
+    use_norm: bool = True
+    channels: Sequence[int] = (16, 32, 64, 64, 64)
+    cap_factors: Sequence[float] = (1.0, 1.0, 1.0, 1.0)
+
+    @nn.compact
+    def __call__(self, voxel_features, coords, valid, train: bool = False):
+        grid0 = tuple(int(v) for v in self.output_shape)
+        B, N = voxel_features.shape[:2]
+        caps = [int(N * f) for f in self.cap_factors]
+        c16, c32, c64, c64b, c64c = self.channels
+        sort = jax.vmap(lambda c, f, v: sp.sort_active(c, f, v, grid0))
+        coords, feats, valid, keys = sort(coords, voxel_features, valid)
+        feats = SparseBasicBlock(c16, grid0, self.use_norm)(
+            feats, coords, keys, valid, train)
+        feats, coords, keys, valid, grid1 = DownBlock(
+            c32, grid0, out_cap=caps[0], use_norm=self.use_norm)(
+                feats, coords, keys, valid, train)
+        feats = SparseBasicBlock(c32, grid1, self.use_norm)(
+            feats, coords, keys, valid, train)
+        feats, coords, keys, valid, grid2 = DownBlock(
+            c64, grid1, out_cap=caps[1], use_norm=self.use_norm)(
+                feats, coords, keys, valid, train)
+        feats = SparseBasicBlock(c64, grid2, self.use_norm)(
+            feats, coords, keys, valid, train)
+        feats, coords, keys, valid, grid3 = DownBlock(
+            c64b, grid2, padding=(0, 1, 1), out_cap=caps[2],
+            use_norm=self.use_norm)(feats, coords, keys, valid, train)
+        feats = SparseBasicBlock(c64b, grid3, self.use_norm)(
+            feats, coords, keys, valid, train)
+        feats, coords, keys, valid, grid4 = DownBlock(
+            c64c, grid3, kernel_size=(3, 1, 1), stride=(2, 1, 1),
+            padding=(0, 0, 0), out_cap=caps[3], use_norm=self.use_norm)(
+                feats, coords, keys, valid, train)
+        dense = jax.vmap(
+            lambda f, c, v: sp.densify(f, c, v, grid4))(feats, coords, valid)
+        B_, D, H, W, C = dense.shape
+        return dense.transpose(0, 2, 3, 1, 4).reshape(B_, H, W, D * C)
+
+
 register_middle("SpMiddleFHD", SparseMiddleFHD)
 register_middle("SpMiddleFHDLite", SparseMiddleFHDLite)
+register_middle("SpMiddleResNetFHD", SparseMiddleResNetFHD)

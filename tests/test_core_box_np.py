@@ -303,3 +303,27 @@ class TestAnchorsMaskSAT:
         area = box_np.fused_get_anchors_area(
             cumsum, anchors_bv, (1.0, 1.0), (0.0, 0.0), (8, 8))
         assert area[0] >= 2
+
+
+class TestHostNMS:
+    def test_greedy_matches_device_semantics(self):
+        from second_tpu.core.nms_np import greedy_nms
+        boxes = np.array([[0.0, 0, 2, 4, 0.1], [0.2, 0, 2, 4, 0.1],
+                          [20.0, 0, 2, 4, 0.0]])
+        scores = np.array([0.9, 0.8, 0.7])
+        keep = greedy_nms(boxes, scores, iou_threshold=0.1)
+        assert set(keep.tolist()) == {0, 2}
+
+    def test_soft_nms_decays_overlaps(self):
+        from second_tpu.core.nms_np import soft_nms
+        boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]],
+                         float)
+        scores = np.array([0.9, 0.85, 0.5])
+        keep, rescored = soft_nms(boxes, scores)
+        assert keep[0] == 0
+        # overlapping box 1 survives but decayed below its original score
+        i1 = list(keep).index(1)
+        assert rescored[i1] < 0.85
+        # distant box unaffected
+        i2 = list(keep).index(2)
+        assert np.isclose(rescored[i2], 0.5)

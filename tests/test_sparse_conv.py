@@ -164,3 +164,23 @@ class TestSparseMiddleModule:
         after = jax.tree.leaves(mutated["batch_stats"])
         changed = any(not np.allclose(b, a) for b, a in zip(before, after))
         assert changed
+
+
+class TestResNetMiddle:
+    def test_resnet_fhd_shapes(self):
+        from second_tpu.models.sparse_middle import SparseMiddleResNetFHD
+        rng = np.random.default_rng(6)
+        grid = (41, 32, 32)
+        B, N, C = 1, 128, 4
+        coords = np.stack([rng.integers(0, g, (B, N)) for g in grid],
+                          -1).astype(np.int32)
+        feats = rng.normal(0, 1, (B, N, C)).astype(np.float32)
+        valid = np.ones((B, N), bool)
+        mod = SparseMiddleResNetFHD(output_shape=grid, num_input_features=C)
+        params = mod.init(jax.random.PRNGKey(0), jnp.asarray(feats),
+                          jnp.asarray(coords), jnp.asarray(valid),
+                          train=False)
+        out = mod.apply(params, jnp.asarray(feats), jnp.asarray(coords),
+                        jnp.asarray(valid), train=False)
+        assert out.shape == (B, 4, 4, 128)
+        assert np.isfinite(np.asarray(out)).all()
