@@ -15,6 +15,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from ..core import box_np
 from ..core.anchors import TargetAssigner
 
 
@@ -24,6 +25,12 @@ class PrepConfig:
     max_gt: int = 64                 # padded gt-box capacity per frame
     shuffle_points: bool = False
     training: bool = True
+    # anchors_mask via summed-area-table occupancy (reference
+    # box_np_ops.sparse_sum_for_anchors_mask / fused_get_anchors_area,
+    # prep_pointcloud contract); <= 0 disables
+    anchor_area_threshold: float = -1.0
+    voxel_size: tuple = (0.05, 0.05, 0.1)
+    pc_range: tuple = (0.0, -40.0, -3.0, 70.4, 40.0, 1.0)
 
 
 class ExamplePrep:
@@ -39,6 +46,12 @@ class ExamplePrep:
         anchors_all = assigner.generate_anchors(feature_map_size)
         self._anchors = anchors_all["anchors"].reshape(
             -1, assigner.box_coder.code_size).astype(np.float32)
+        # standup BEV footprint of every anchor, cached for the SAT mask
+        if prep_cfg.anchor_area_threshold > 0:
+            bev = self._anchors[:, [0, 1, 3, 4, 6]]
+            self._anchors_bv = box_np.rbbox2d_to_near_bbox(bev)
+        else:
+            self._anchors_bv = None
 
     @property
     def anchors(self) -> np.ndarray:
@@ -71,6 +84,10 @@ class ExamplePrep:
             "points_mask": mask,
             "image_idx": scene.get("image_idx", -1),
         }
+        anchors_mask = None
+        if self._anchors_bv is not None:
+            anchors_mask = self._compute_anchors_mask(scene["points"])
+            example["anchors_mask"] = anchors_mask
         if "p_points" in scene:   # temporal pairs (reference p_* keys)
             p_padded, p_mask = self.pad_points(scene["p_points"], rng)
             example["p_points"] = p_padded
@@ -85,6 +102,7 @@ class ExamplePrep:
             keep = gt_classes > 0
             targets = self._assigner.assign(
                 self._anchors_dict, gt_boxes[keep],
+                anchors_mask=anchors_mask,
                 gt_classes=gt_classes[keep], gt_names=gt_names[keep],
                 rng=rng)
             example["labels"] = targets["labels"].astype(np.int32)
@@ -104,10 +122,31 @@ class ExamplePrep:
         """Stack examples + broadcast the anchor cache."""
         batch = {}
         for key in ("points", "points_mask", "p_points", "p_points_mask",
-                    "labels", "reg_targets", "gt_boxes_padded", "gt_valid"):
+                    "labels", "reg_targets", "gt_boxes_padded", "gt_valid",
+                    "anchors_mask"):
             if key in examples[0]:
                 batch[key] = np.stack([e[key] for e in examples])
         batch["anchors"] = np.broadcast_to(
             self._anchors[None], (len(examples),) + self._anchors.shape).copy()
         batch["image_idx"] = np.array([e["image_idx"] for e in examples])
         return batch
+
+
+    def _compute_anchors_mask(self, points):
+        """Occupancy-SAT anchors mask: anchors whose BEV footprint contains
+        fewer than `anchor_area_threshold` occupied voxels are pruned
+        (reference prep_pointcloud via fused_get_anchors_area)."""
+        from .. import runtime
+        cfg = self._prep
+        vsize = np.asarray(cfg.voxel_size, np.float32)
+        rng_ = np.asarray(cfg.pc_range, np.float32)
+        _, coords, _ = runtime.points_to_voxel(
+            np.ascontiguousarray(points), list(vsize), list(rng_), 1, 200000)
+        grid = np.round((rng_[3:] - rng_[:3]) / vsize).astype(np.int64)
+        dense = box_np.sparse_sum_for_anchors_mask(
+            coords, (int(grid[1]), int(grid[0])))
+        cumsum = dense.cumsum(0).cumsum(1)
+        area = box_np.fused_get_anchors_area(
+            cumsum, self._anchors_bv, vsize[:2], rng_[:2],
+            (int(grid[0]), int(grid[1])))
+        return area > cfg.anchor_area_threshold

@@ -91,7 +91,13 @@ class Trainer:
             self.assigner, self.info.feature_map_size,
             PrepConfig(max_points=max_points,
                        shuffle_points=self.cfg.train_input_reader.shuffle_points,
-                       training=True))
+                       training=True,
+                       anchor_area_threshold=(
+                           self.cfg.train_input_reader.anchor_area_threshold),
+                       voxel_size=tuple(
+                           self.cfg.model.voxel_generator.voxel_size),
+                       pc_range=tuple(
+                           self.cfg.model.voxel_generator.point_cloud_range)))
         self.synthetic = synthetic
         if synthetic:
             pc_range = tuple(self.cfg.model.voxel_generator.point_cloud_range)

@@ -172,3 +172,34 @@ class TestIoUBranch:
         es = make_eval_step(spec, vspec)
         det = es(state, dict(jb))
         assert det["boxes"].shape[-1] == 7
+
+
+class TestAnchorsMask:
+    def test_sat_pruning_flows_through(self):
+        """anchor_area_threshold > 0: empty-region anchors are pruned,
+        ignored in targets, and respected by predict."""
+        from second_tpu.testing import tiny_pipeline_config
+        from second_tpu.models import build_voxelnet
+        from second_tpu.data import ExamplePrep, PrepConfig
+        cfg = tiny_pipeline_config()
+        module, spec, info, assigner, coder = build_voxelnet(cfg.model)
+        prep = ExamplePrep(assigner, info.feature_map_size,
+                           PrepConfig(max_points=2000, training=True,
+                                      anchor_area_threshold=1,
+                                      voxel_size=(0.25, 0.25, 4.0),
+                                      pc_range=(0, -8, -3, 16, 8, 1)))
+        rng = np.random.default_rng(0)
+        pts = np.concatenate(
+            [np.random.default_rng(1).uniform([0, -8, -2], [8, 8, 0],
+                                              (500, 3)),
+             np.random.default_rng(2).uniform(0, 1, (500, 1))],
+            1).astype(np.float32)
+        gt = np.array([[4.0, 0.0, -1.7, 1.6, 3.9, 1.56, 0.2]], np.float32)
+        ex = prep({"points": pts, "gt_boxes": gt,
+                   "gt_names": np.array(["Car"]), "image_idx": 0}, rng)
+        mask = ex["anchors_mask"]
+        anchors = prep.anchors
+        assert 0 < mask.sum() < len(mask)
+        assert mask[anchors[:, 0] > 10].sum() == 0   # empty right half
+        assert (ex["labels"][~mask] == -1).all()
+        assert (ex["labels"] > 0).sum() > 0
