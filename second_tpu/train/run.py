@@ -181,11 +181,16 @@ class Trainer:
 
     # -- loops -------------------------------------------------------------
     def train(self, total_steps: Optional[int] = None):
+        from .prefetch import PrefetchIterator
         tc = self.cfg.train_config
         total_steps = total_steps or self.total_steps
         batch_size = self.cfg.train_input_reader.batch_size
         rng = np.random.default_rng(0)
-        batches = self._batch_iter(batch_size, rng)
+        raw = self._batch_iter(batch_size, rng)
+        workers = max(1, min(4, self.cfg.train_input_reader.num_workers))
+        batches = PrefetchIterator(
+            lambda: next(raw), num_workers=workers,
+            prefetch_size=min(8, self.cfg.train_input_reader.prefetch_size))
         state = self._init_state(next(batches))
         avg_loss = Scalar()
         pr = PrecisionRecall()
