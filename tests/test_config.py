@@ -101,3 +101,35 @@ def test_canonical_config_fields():
 def test_default_config_roundtrip():
     cfg = loads_pipeline_config("model { second { } }")
     assert cfg.model.nms_pre_max_size == 1000
+
+
+@pytest.mark.skipif(not REFERENCE_CONFIGS, reason="reference not mounted")
+def test_reference_config_builds_model():
+    """A verbatim reference pipeline config constructs a working model."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from second_tpu.models import build_voxelnet
+    cfg = load_pipeline_config(
+        "/root/reference/second/configs/onestage/"
+        "server_lidaronly.fhd.onestage.config")
+    module, spec, info, assigner, coder = build_voxelnet(cfg.model)
+    assert info.feature_map_size == (1, 200, 176)
+    assert info.num_anchors == 70400
+    assert assigner.classes == ["Car"]
+    assert spec.nms_pre_max_size == cfg.model.nms_pre_max_size
+    # tiny forward through the built module (fhd sparse middle)
+    rng = np.random.default_rng(0)
+    B, V = 1, 256
+    coords = np.stack([rng.integers(0, g, (B, V)) for g in (41, 1600, 1408)],
+                      -1).astype(np.int32)
+    voxels = rng.normal(0, 1, (B, V, 5, 4)).astype(np.float32)
+    num_points = np.full((B, V), 3, np.int32)
+    valid = np.ones((B, V), bool)
+    variables = module.init(jax.random.PRNGKey(0), jnp.asarray(voxels),
+                            jnp.asarray(num_points), jnp.asarray(coords),
+                            jnp.asarray(valid), train=False)
+    preds = module.apply(variables, jnp.asarray(voxels),
+                         jnp.asarray(num_points), jnp.asarray(coords),
+                         jnp.asarray(valid), train=False)
+    assert preds["box_preds"].shape == (1, 200, 176, 14)
