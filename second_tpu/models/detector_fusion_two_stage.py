@@ -38,13 +38,14 @@ class FusionTwoStageVoxelNet(nn.Module):
     @nn.compact
     def __call__(self, voxels, num_points, coords, voxel_valid, image,
                  proj_pix, proj_bev, proj_valid, anchors,
-                 train: bool = False):
+                 train: bool = False, anchors_mask=None):
         stage1 = FusionVoxelNet(
             self.vfe_class_name, self.vfe_kwargs, self.middle_class_name,
             self.middle_kwargs, self.rpn_kwargs, name="stage1")(
             voxels, num_points, coords, voxel_valid, image, proj_pix,
             proj_bev, proj_valid, train)
-        proposals = select_proposals(self.pspec, self.spec, stage1, anchors)
+        proposals = select_proposals(self.pspec, self.spec, stage1, anchors,
+                                     anchors_mask)
         bev_crops = crop_rois(stage1["gated_bev_feat"], proposals["boxes"],
                               self.roi.pc_range, self.roi.voxel_size,
                               self.roi.out_stride, self.roi.crop_size,

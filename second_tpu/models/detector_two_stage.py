@@ -46,12 +46,13 @@ class TwoStageVoxelNet(nn.Module):
 
     @nn.compact
     def __call__(self, voxels, num_points, coords, voxel_valid, anchors,
-                 train: bool = False):
+                 train: bool = False, anchors_mask=None):
         stage1 = VoxelNet(self.vfe_class_name, self.vfe_kwargs,
                           self.middle_class_name, self.middle_kwargs,
                           self.rpn_kwargs, name="stage1")(
             voxels, num_points, coords, voxel_valid, train)
-        proposals = select_proposals(self.pspec, self.spec, stage1, anchors)
+        proposals = select_proposals(self.pspec, self.spec, stage1, anchors,
+                                     anchors_mask)
         crops = crop_rois(stage1["trunk"], proposals["boxes"],
                           self.roi.pc_range, self.roi.voxel_size,
                           self.roi.out_stride, self.roi.crop_size,
@@ -74,13 +75,15 @@ class TwoStageVoxelNet(nn.Module):
 
 
 def compute_two_stage_loss(spec: DetectorSpec, preds, labels, reg_targets,
-                           anchors):
+                           anchors, gt_boxes=None, gt_valid=None):
     """(stage1 + stage2) / 2 (reference endtoend loss pattern)."""
-    l1 = compute_loss(spec, preds, labels, reg_targets, anchors)
+    l1 = compute_loss(spec, preds, labels, reg_targets, anchors,
+                      gt_boxes, gt_valid)
     l2 = second_stage_loss(
         spec, {"box_preds": preds["second_box_preds"],
                "cls_preds": preds["second_cls_preds"]},
-        preds["proposals"], labels, reg_targets, anchors)
+        preds["proposals"], labels, reg_targets, anchors,
+        gt_boxes, gt_valid)
     out = {**l1, **l2}
     out["loss"] = (l1["loss"] + l2["second_loss"]) / 2.0
     return out

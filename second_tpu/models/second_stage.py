@@ -38,10 +38,12 @@ class ProposalSpec:
 
 
 def select_proposals(pspec: ProposalSpec, spec: DetectorSpec, preds_dict,
-                     anchors):
+                     anchors, anchors_mask=None):
     """Top-N stage-1 proposals per example, in-graph.
 
-    anchors: [B, A, 7]. Returns dict with:
+    anchors: [B, A, 7]; anchors_mask: optional [B, A] bool — SAT-pruned
+    anchors are excluded before NMS (the reference's `predict_for_rpn`
+    respects the mask, spatio `:1075-1237`). Returns dict with:
         indices [B, N] anchor indices, boxes [B, N, 7] decoded proposals,
         valid [B, N], box_enc [B, N, code] stage-1 encodings,
         cls_logits [B, N, C1].
@@ -60,18 +62,19 @@ def select_proposals(pspec: ProposalSpec, spec: DetectorSpec, preds_dict,
          box_preds[..., 6:]], axis=-1)
     boxes = box_ops.second_box_decode(safe, anchors)
     scores = jax.nn.sigmoid(cls_preds).max(-1)
+    if anchors_mask is None:
+        anchors_mask = jnp.ones((B, A), bool)
 
-    def one(boxes_i, scores_i, box_preds_i, cls_preds_i):
+    def one(boxes_i, scores_i, box_preds_i, cls_preds_i, mask_i):
         idx, keep = nearest_nms(
-            boxes_i[:, [0, 1, 3, 4, 6]], scores_i,
-            jnp.ones((A,), bool),
+            boxes_i[:, [0, 1, 3, 4, 6]], scores_i, mask_i,
             pre_max_size=pspec.nms_pre_max_size,
             post_max_size=pspec.num_proposals,
             iou_threshold=pspec.nms_iou_threshold)
         return (idx, keep, boxes_i[idx], box_preds_i[idx], cls_preds_i[idx])
 
     idx, keep, pboxes, penc, pcls = jax.vmap(one)(boxes, scores, box_preds,
-                                                  cls_preds)
+                                                  cls_preds, anchors_mask)
     return {"indices": idx, "valid": keep, "boxes": pboxes,
             "box_enc": penc, "cls_logits": pcls}
 
@@ -128,12 +131,15 @@ def crop_rois(feat_map, proposal_boxes, pc_range, voxel_size, out_stride,
 
 
 def second_stage_loss(spec: DetectorSpec, second_preds, proposals, labels,
-                      reg_targets, anchors):
+                      reg_targets, anchors, gt_boxes=None, gt_valid=None):
     """Stage-2 loss on the selected anchors (reference `spatio :902-1025`).
 
     second_preds: dict box_preds [B, N, code] (already residual-added),
     cls_preds [B, N, C1]. labels/reg_targets/anchors: full [B, A, ...] —
-    gathered here at proposal indices.
+    gathered here at proposal indices. With gt_boxes/gt_valid (padded
+    [B, G, 7]/[B, G]) and `spec.use_iou_param_partaa`, stage-2 cls targets
+    are rescaled by the 3D IoU of the *refined* proposals vs gt with
+    Part-A² soft labels (reference IoU-target branch, `spatio :927-960`).
     """
     idx = proposals["indices"]
     B = idx.shape[0]
@@ -150,6 +156,20 @@ def second_stage_loss(spec: DetectorSpec, second_preds, proposals, labels,
                              dtype=second_preds["box_preds"].dtype)
     if spec.encode_background_as_zeros:
         one_hot = one_hot[..., 1:]
+    if spec.use_iou_param_partaa and gt_boxes is not None:
+        from ..ops.rotated_iou import d3_iou_matrix
+        sel_anchors = take(anchors, idx)
+        decoded = box_ops.second_box_decode(second_preds["box_preds"],
+                                            sel_anchors)
+
+        def one(dec, gt, gv):
+            iou = d3_iou_matrix(dec, gt)           # [N, G]
+            return jnp.where(gv[None, :], iou, 0.0).max(-1)
+        iou = jax.lax.stop_gradient(jax.vmap(one)(decoded, gt_boxes,
+                                                  gt_valid))
+        soft = jnp.clip(iou * 2.0 - 0.5, 0.0, 1.0)
+        soft = jnp.where(iou > 0.75, 1.0, jnp.where(iou < 0.25, 0.0, soft))
+        one_hot = one_hot * jnp.where(sel_labels > 0, soft, 1.0)[..., None]
 
     bp, rt = second_preds["box_preds"], sel_targets
     if spec.encode_rad_error_by_sin:

@@ -57,7 +57,8 @@ class TemporalVoxelNet(nn.Module):
     roi: RoiSpec = None
 
     @nn.compact
-    def __call__(self, cur, prev, anchors, train: bool = False):
+    def __call__(self, cur, prev, anchors, train: bool = False,
+                 anchors_mask=None):
         """cur / prev: dicts with voxels, num_points, coordinates,
         voxel_valid (post device_voxelize)."""
         vfe = VFE_REGISTRY[self.vfe_class_name](
@@ -85,7 +86,8 @@ class TemporalVoxelNet(nn.Module):
         preds = rpn(fused, train)
         preds["gated_bev_feat"] = fused
 
-        proposals = select_proposals(self.pspec, self.spec, preds, anchors)
+        proposals = select_proposals(self.pspec, self.spec, preds, anchors,
+                                     anchors_mask)
         crops = crop_rois(fused, proposals["boxes"], self.roi.pc_range,
                           self.roi.voxel_size, self.roi.out_stride,
                           self.roi.crop_size, self.roi.samples)

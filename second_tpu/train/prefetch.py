@@ -54,3 +54,29 @@ class PrefetchIterator:
 
     def close(self):
         self._stop.set()
+
+
+def bounded_ordered_map(fn, items, num_workers: int = 4,
+                        prefetch: int = 8):
+    """Like ThreadPoolExecutor.map but with a bounded in-flight window, so
+    results stream in order without materializing the whole input (used by
+    the eval loop: per-batch example prep runs in threads while the device
+    executes the previous batch)."""
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+
+    items = iter(items)
+    with ThreadPoolExecutor(max_workers=num_workers) as ex:
+        window: collections.deque = collections.deque()
+        try:
+            for _ in range(prefetch):
+                window.append(ex.submit(fn, next(items)))
+        except StopIteration:
+            pass
+        while window:
+            result = window.popleft().result()
+            try:
+                window.append(ex.submit(fn, next(items)))
+            except StopIteration:
+                pass
+            yield result

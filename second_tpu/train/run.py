@@ -87,6 +87,13 @@ class Trainer:
         self.vspec = VoxelizeSpec.from_config(
             self.cfg.model.voxel_generator,
             self.cfg.train_input_reader.max_number_of_voxels)
+        # eval gets its own voxel capacity (reference evaluates fhd with 40k
+        # voxels vs 16k train, config `:121,198`)
+        self.eval_vspec = VoxelizeSpec.from_config(
+            self.cfg.model.voxel_generator,
+            self.cfg.eval_input_reader.max_number_of_voxels
+            or self.cfg.train_input_reader.max_number_of_voxels)
+        vg = self.cfg.model.voxel_generator
         self.prep = ExamplePrep(
             self.assigner, self.info.feature_map_size,
             PrepConfig(max_points=max_points,
@@ -94,10 +101,17 @@ class Trainer:
                        training=True,
                        anchor_area_threshold=(
                            self.cfg.train_input_reader.anchor_area_threshold),
-                       voxel_size=tuple(
-                           self.cfg.model.voxel_generator.voxel_size),
-                       pc_range=tuple(
-                           self.cfg.model.voxel_generator.point_cloud_range)))
+                       voxel_size=tuple(vg.voxel_size),
+                       pc_range=tuple(vg.point_cloud_range)))
+        # eval-time prep: no target assignment (the reference's
+        # prep_pointcloud with training=False), anchors_mask still applied
+        self.eval_prep = ExamplePrep(
+            self.assigner, self.info.feature_map_size,
+            PrepConfig(max_points=max_points, training=False,
+                       anchor_area_threshold=(
+                           self.cfg.eval_input_reader.anchor_area_threshold),
+                       voxel_size=tuple(vg.voxel_size),
+                       pc_range=tuple(vg.point_cloud_range)))
         self.synthetic = synthetic
         if synthetic:
             pc_range = tuple(self.cfg.model.voxel_generator.point_cloud_range)
@@ -130,15 +144,16 @@ class Trainer:
             self.cfg.train_config.optimizer, self.total_steps)
         if model_type == "one_stage":
             self.train_step = make_train_step(self.spec, self.vspec)
-            self.eval_step = make_eval_step(self.spec, self.vspec)
+            self.eval_step = make_eval_step(self.spec, self.vspec,
+                                            self.eval_vspec)
         elif model_type == "two_stage":
             from .steps_multistage import make_two_stage_steps
             self.train_step, self.eval_step = make_two_stage_steps(
-                self.spec, self.vspec)
+                self.spec, self.vspec, self.eval_vspec)
         else:
             from .steps_multistage import make_temporal_steps
             self.train_step, self.eval_step = make_temporal_steps(
-                self.spec, self.vspec)
+                self.spec, self.vspec, self.eval_vspec)
         self.ckpt = CheckpointManager(self.model_dir)
         self.logger = MetricsLogger(self.model_dir)
         self.timer = StageTimer()
@@ -227,48 +242,65 @@ class Trainer:
         self.ckpt.save(state, int(state.step))
         return state
 
+    def _convert_detections(self, det, scenes, gt_annos, dt_annos):
+        """Host-side detection→KITTI-anno conversion for one batch (runs
+        while the device executes the next batch)."""
+        det = {k: np.asarray(v) for k, v in det.items()}
+        for b, scene in enumerate(scenes):
+            valid = det["valid"][b]
+            if self.synthetic:
+                gt_annos.append(_synthetic_lidar_to_camera_annos(
+                    scene["gt_boxes"], scene["gt_names"]))
+                dt_annos.append(_synthetic_lidar_to_camera_annos(
+                    det["boxes"][b][valid],
+                    ["Car"] * int(valid.sum()),
+                    det["scores"][b][valid]))
+            else:
+                from ..data.kitti import detections_to_kitti_annos
+                dt_annos.append(detections_to_kitti_annos(
+                    {k: v[b] for k, v in det.items()},
+                    scene["calib/R0_rect"], scene["calib/Tr_velo_to_cam"],
+                    scene["calib/P2"], scene.get("img_shape"),
+                    self.assigner.classes,
+                    self.cfg.model.post_center_limit_range))
+                gt_annos.append(scene["annos"])
+
     def evaluate(self, state=None, max_frames: Optional[int] = None):
+        from .prefetch import bounded_ordered_map
         if state is None:
             batch_size = self.cfg.eval_input_reader.batch_size
             rng = np.random.default_rng(0)
             state = self._init_state(next(self._batch_iter(batch_size, rng)))
-        eval_prep = ExamplePrep(
-            self.assigner, self.info.feature_map_size,
-            PrepConfig(max_points=self.prep._prep.max_points, training=True))
         batch_size = self.cfg.eval_input_reader.batch_size
         n = len(self.eval_ds)
         if max_frames:
             n = min(n, max_frames)
-        gt_annos, dt_annos = [], []
-        t0 = time.time()
-        rng = np.random.default_rng(0)
-        for start in range(0, n - n % batch_size, batch_size):
+
+        def make_batch(start):
+            rng = np.random.default_rng(start)
             scenes = [self.eval_ds[i] for i in range(start,
                                                      start + batch_size)]
-            examples = [eval_prep(s, rng) for s in scenes]
-            batch = eval_prep.collate(examples)
+            examples = [self.eval_prep(s, rng) for s in scenes]
+            batch = self.eval_prep.collate(examples)
             jbatch = {k: jnp.asarray(v) for k, v in batch.items()
                       if k != "image_idx"}
-            det = self.eval_step(state, jbatch)
-            det = {k: np.asarray(v) for k, v in det.items()}
-            for b, scene in enumerate(scenes):
-                valid = det["valid"][b]
-                if self.synthetic:
-                    gt_annos.append(_synthetic_lidar_to_camera_annos(
-                        scene["gt_boxes"], scene["gt_names"]))
-                    dt_annos.append(_synthetic_lidar_to_camera_annos(
-                        det["boxes"][b][valid],
-                        ["Car"] * int(valid.sum()),
-                        det["scores"][b][valid]))
-                else:
-                    from ..data.kitti import detections_to_kitti_annos
-                    dt_annos.append(detections_to_kitti_annos(
-                        {k: v[b] for k, v in det.items()},
-                        scene["calib/R0_rect"], scene["calib/Tr_velo_to_cam"],
-                        scene["calib/P2"], scene.get("img_shape"),
-                        self.assigner.classes,
-                        self.cfg.model.post_center_limit_range))
-                    gt_annos.append(scene["annos"])
+            return scenes, jbatch
+
+        workers = max(1, min(4, self.cfg.eval_input_reader.num_workers))
+        starts = range(0, n - n % batch_size, batch_size)
+        gt_annos, dt_annos = [], []
+        t0 = time.time()
+        pending = None   # (device detections, scenes) of the previous batch
+        for scenes, jbatch in bounded_ordered_map(
+                make_batch, starts, num_workers=workers, prefetch=8):
+            det = self.eval_step(state, jbatch)   # async dispatch
+            if pending is not None:
+                self._convert_detections(pending[0], pending[1],
+                                         gt_annos, dt_annos)
+            pending = (det, scenes)
+        if pending is not None:
+            self._convert_detections(pending[0], pending[1],
+                                     gt_annos, dt_annos)
         dt = time.time() - t0
         fps = len(dt_annos) / max(dt, 1e-9)
         classes = [c for c in self.assigner.classes]

@@ -121,9 +121,15 @@ def make_train_step(spec: DetectorSpec, vspec: VoxelizeSpec):
     return train_step
 
 
-def make_eval_step(spec: DetectorSpec, vspec: VoxelizeSpec):
+def make_eval_step(spec: DetectorSpec, vspec: VoxelizeSpec,
+                   eval_vspec: VoxelizeSpec = None):
     """Returns a jitted eval_step(state, batch) → detections
-    (the whole voxelize→…→NMS path of BASELINE's north-star metric)."""
+    (the whole voxelize→…→NMS path of BASELINE's north-star metric).
+
+    `eval_vspec` lets evaluation use its own voxel capacity — the reference
+    evaluates with `eval_input_reader.max_number_of_voxels` (e.g. 40k for fhd
+    vs 16k train, config `:121,198`)."""
+    vspec = eval_vspec or vspec
 
     @jax.jit
     def eval_step(state: TrainState, batch: Dict):

@@ -35,26 +35,32 @@ def _metrics(loss, aux, grads):
     return out
 
 
-def make_two_stage_steps(spec: DetectorSpec, vspec: VoxelizeSpec):
+def make_two_stage_steps(spec: DetectorSpec, vspec: VoxelizeSpec,
+                         eval_vspec: VoxelizeSpec = None):
     """(train_step, eval_step) for TwoStageVoxelNet batches."""
+    eval_vspec = eval_vspec or vspec
 
     def forward(params, batch_stats, apply_fn, batch, train):
-        vox = device_voxelize(vspec, batch["points"], batch["points_mask"])
+        vox = device_voxelize(vspec if train else eval_vspec,
+                              batch["points"], batch["points_mask"])
         variables = {"params": params, "batch_stats": batch_stats}
+        mask = batch.get("anchors_mask")
         if train:
             return apply_fn(variables, vox["voxels"], vox["num_points"],
                             vox["coordinates"], vox["voxel_valid"],
-                            batch["anchors"], train=True,
+                            batch["anchors"], train=True, anchors_mask=mask,
                             mutable=["batch_stats"])
         return apply_fn(variables, vox["voxels"], vox["num_points"],
                         vox["coordinates"], vox["voxel_valid"],
-                        batch["anchors"], train=False), None
+                        batch["anchors"], train=False,
+                        anchors_mask=mask), None
 
     def loss_fn(params, batch_stats, apply_fn, batch):
         preds, mutated = forward(params, batch_stats, apply_fn, batch, True)
         loss_dict = compute_two_stage_loss(
             spec, preds, batch["labels"], batch["reg_targets"],
-            batch["anchors"])
+            batch["anchors"], batch.get("gt_boxes_padded"),
+            batch.get("gt_valid"))
         return loss_dict["loss"], (loss_dict, mutated["batch_stats"])
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -78,34 +84,40 @@ def make_two_stage_steps(spec: DetectorSpec, vspec: VoxelizeSpec):
     return train_step, eval_step
 
 
-def make_temporal_steps(spec: DetectorSpec, vspec: VoxelizeSpec):
+def make_temporal_steps(spec: DetectorSpec, vspec: VoxelizeSpec,
+                        eval_vspec: VoxelizeSpec = None):
     """(train_step, eval_step) for TemporalVoxelNet batches.
 
     Batches carry the previous frame under `p_points`/`p_points_mask`
     (the reference's `p_voxels`/`p_coordinates` example keys, spatio
     `:666-677`).
     """
+    eval_vspec = eval_vspec or vspec
 
     def forward(params, batch_stats, apply_fn, batch, train):
-        cur = device_voxelize(vspec, batch["points"], batch["points_mask"])
-        prev = device_voxelize(vspec, batch["p_points"],
+        vs = vspec if train else eval_vspec
+        cur = device_voxelize(vs, batch["points"], batch["points_mask"])
+        prev = device_voxelize(vs, batch["p_points"],
                                batch["p_points_mask"])
         cur = {k: cur[k] for k in ("voxels", "num_points", "coordinates",
                                    "voxel_valid")}
         prev = {k: prev[k] for k in ("voxels", "num_points", "coordinates",
                                      "voxel_valid")}
         variables = {"params": params, "batch_stats": batch_stats}
+        mask = batch.get("anchors_mask")
         if train:
             return apply_fn(variables, cur, prev, batch["anchors"],
-                            train=True, mutable=["batch_stats"])
+                            train=True, anchors_mask=mask,
+                            mutable=["batch_stats"])
         return apply_fn(variables, cur, prev, batch["anchors"],
-                        train=False), None
+                        train=False, anchors_mask=mask), None
 
     def loss_fn(params, batch_stats, apply_fn, batch):
         preds, mutated = forward(params, batch_stats, apply_fn, batch, True)
         loss_dict = compute_two_stage_loss(
             spec, preds, batch["labels"], batch["reg_targets"],
-            batch["anchors"])
+            batch["anchors"], batch.get("gt_boxes_padded"),
+            batch.get("gt_valid"))
         return loss_dict["loss"], (loss_dict, mutated["batch_stats"])
 
     @partial(jax.jit, donate_argnums=(0,))

@@ -104,6 +104,7 @@ def test_default_config_roundtrip():
 
 
 @pytest.mark.skipif(not REFERENCE_CONFIGS, reason="reference not mounted")
+@pytest.mark.slow
 def test_reference_config_builds_model():
     """A verbatim reference pipeline config constructs a working model."""
     import jax

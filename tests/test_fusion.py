@@ -87,6 +87,7 @@ class TestFusionRPN:
 
 
 class TestFusionTwoStage:
+    @pytest.mark.slow
     def test_forward_loss_predict(self):
         from second_tpu.testing import tiny_pipeline_config, tiny_scene_kwargs
         from second_tpu.models.detector_fusion_two_stage import (

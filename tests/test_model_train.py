@@ -74,6 +74,7 @@ class TestEvalStep:
         assert det["scores"].shape == (B, P)
         assert det["valid"].dtype == bool
 
+    @pytest.mark.slow
     def test_trained_model_detects_cars(self, setup):
         """Overfit the tiny model on one batch; it must detect the gt cars."""
         train_step = make_train_step(setup["spec"], setup["vspec"])
@@ -108,6 +109,7 @@ class TestDataParallel:
         state, metrics2 = train_step(state, shard_batch(batch, mesh))
         assert np.isfinite(float(metrics2["loss"]))
 
+    @pytest.mark.slow
     def test_dp_matches_single_device(self, setup):
         """One sharded step == one single-device step on the same batch."""
         mesh = make_mesh(jax.devices()[:8])
@@ -129,6 +131,7 @@ class TestDataParallel:
 
 
 class TestIoUBranch:
+    @pytest.mark.slow
     def test_iou_branch_train_and_predict(self):
         """use_iou_branch: head present, iou loss computed, NMS ranks by iou."""
         from second_tpu.testing import TINY_PIPELINE

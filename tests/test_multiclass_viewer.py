@@ -160,6 +160,7 @@ class TestMulticlass:
         assert (labels == 1).any(), "no Car positives"
         assert (labels == 2).any(), "no Pedestrian positives"
 
+    @pytest.mark.slow
     def test_train_and_multiclass_predict(self, setup):
         from second_tpu.train import make_eval_step, make_train_step
         ts = make_train_step(setup["spec"], setup["vspec"])
@@ -178,6 +179,7 @@ class TestMulticlass:
 
 
 class TestInferenceContextAndViewer:
+    @pytest.mark.slow
     def test_inference_context(self, tmp_path):
         from second_tpu.core.inference_ctx import InferenceContext
         from second_tpu.testing import TINY_PIPELINE

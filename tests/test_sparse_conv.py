@@ -122,6 +122,7 @@ class TestSparseConvDown:
         assert int(np.asarray(ov).sum()) == 8  # capped deterministically
 
 
+@pytest.mark.slow
 class TestSparseMiddleModule:
     def test_fhd_module_shapes(self):
         from second_tpu.models.sparse_middle import SparseMiddleFHD
@@ -166,6 +167,7 @@ class TestSparseMiddleModule:
         assert changed
 
 
+@pytest.mark.slow
 class TestResNetMiddle:
     def test_resnet_fhd_shapes(self):
         from second_tpu.models.sparse_middle import SparseMiddleResNetFHD

@@ -175,6 +175,7 @@ class TestMOT:
 
 
 class TestSequenceInference:
+    @pytest.mark.slow
     def test_four_frame_sequence(self):
         """N-frame (4) temporal batch inference compiles and runs."""
         from second_tpu.testing import tiny_pipeline_config

@@ -114,6 +114,7 @@ class TestTwoStageDetector:
         assert preds["second_cls_preds"].shape == (B, 64, 1)
         assert preds["proposals"]["indices"].shape == (B, 64)
 
+    @pytest.mark.slow
     def test_loss_and_grads_finite(self, setup):
         m = setup
 
