@@ -63,6 +63,11 @@ def build_voxelnet(cfg: schema.ModelConfig, mixed_precision: bool = False):
             "output_shape": (nz + 1, ny, nx),
             "num_input_features": cfg.middle_feature_extractor.num_input_features,
         }
+        if middle_name == "SparseMiddleExtractor":
+            middle_kwargs["num_filters_down1"] = tuple(
+                cfg.middle_feature_extractor.num_filters_down1)
+            middle_kwargs["num_filters_down2"] = tuple(
+                cfg.middle_feature_extractor.num_filters_down2)
     out_size_factor = middle_downsample * rpn_out_stride
     fmap = (1, ny // out_size_factor, nx // out_size_factor)
     num_anchors = fmap[1] * fmap[2] * num_anchor_per_loc

@@ -81,6 +81,21 @@ def weighted_softmax_loss(logits, targets, weights, logit_scale=1.0):
     return -(targets * logp).sum(-1) * weights
 
 
+def bootstrapped_sigmoid_loss(logits, targets, weights, alpha=0.5,
+                              bootstrap_type="soft"):
+    """Bootstrapped sigmoid CE (Reed et al. 2015): targets are a convex
+    combination of labels and the model's own predictions (reference
+    `losses.py:409-466` BootstrappedSigmoidClassificationLoss)."""
+    p = jax.nn.sigmoid(logits)
+    if bootstrap_type == "soft":
+        boot = alpha * targets + (1.0 - alpha) * p
+    elif bootstrap_type == "hard":
+        boot = alpha * targets + (1.0 - alpha) * (p > 0.5).astype(logits.dtype)
+    else:
+        raise ValueError(f"unknown bootstrap_type {bootstrap_type}")
+    return sigmoid_cross_entropy_with_logits(logits, boot) * weights[..., None]
+
+
 def prepare_loss_weights(labels, pos_cls_weight=1.0, neg_cls_weight=1.0,
                          loss_norm_type="NormByNumPositives",
                          dtype=jnp.float32):
@@ -131,6 +146,10 @@ def build_classification_loss(cfg):
     if cfg.kind == "weighted_softmax":
         return lambda lo, t, w: weighted_softmax_loss(
             lo, t, w, cfg.logit_scale)[..., None]
+    if cfg.kind == "bootstrapped_sigmoid":
+        return lambda lo, t, w: bootstrapped_sigmoid_loss(
+            lo, t, w, cfg.alpha,
+            "hard" if getattr(cfg, "hard_bootstrap", False) else "soft")
     raise ValueError(f"unknown classification loss {cfg.kind}")
 
 

@@ -106,6 +106,49 @@ class SparseBasicBlock(nn.Module):
         return out * valid[..., None]
 
 
+class SparseBottleneck(nn.Module):
+    """Residual bottleneck block: 1×1 → 3×3 → 1×1 submanifold convs with
+    masked BN and expansion 4 (reference `resnet.py:49-85`)."""
+    features: int
+    grid_dhw: Tuple[int, int, int]
+    use_norm: bool = True
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, feats, coords, keys, valid, train: bool = False):
+        cin = feats.shape[-1]
+        cout = self.features * self.expansion
+        residual = feats
+        if cin != cout:
+            w0 = self.param("proj", nn.initializers.variance_scaling(
+                1.0, "fan_in", "normal"), (cin, cout))
+            residual = feats @ w0
+        # conv1x1 (k=1 submanifold = per-voxel matmul)
+        w1 = self.param("kernel1x1_a", nn.initializers.variance_scaling(
+            1.0, "fan_in", "normal"), (cin, self.features))
+        out = feats @ w1
+        if self.use_norm:
+            out = MaskedBatchNorm()(out, valid, train)
+        out = nn.relu(out)
+        # conv3x3
+        w2 = self.param("kernel3x3", nn.initializers.variance_scaling(
+            1.0, "fan_in", "normal"), (27, self.features, self.features))
+        out = jax.vmap(
+            lambda f, c, k, v: sp.subm_conv3d(f, c, k, v, self.grid_dhw, w2)
+        )(out, coords, keys, valid)
+        if self.use_norm:
+            out = MaskedBatchNorm()(out, valid, train)
+        out = nn.relu(out)
+        # conv1x1 expand
+        w3 = self.param("kernel1x1_b", nn.initializers.variance_scaling(
+            1.0, "fan_in", "normal"), (self.features, cout))
+        out = out @ w3
+        if self.use_norm:
+            out = MaskedBatchNorm()(out, valid, train)
+        out = nn.relu(out + residual)
+        return out * valid[..., None]
+
+
 class DownBlock(nn.Module):
     """SparseConv3d(stride) → masked BN → ReLU; emits a new active set."""
     features: int
@@ -279,6 +322,164 @@ class SparseMiddleResNetFHD(nn.Module):
         B_, D, H, W, C = dense.shape
         return dense.transpose(0, 2, 3, 1, 4).reshape(B_, H, W, D * C)
 
+
+class MaxPoolBlock(nn.Module):
+    """Sparse max-pool (spconv.SparseMaxPool3d); emits a new active set."""
+    grid_dhw: Tuple[int, int, int]
+    kernel_size: Tuple[int, int, int] = (2, 1, 1)
+    out_cap: int = 0
+
+    @nn.compact
+    def __call__(self, feats, coords, keys, valid, train: bool = False):
+        def one(f, c, k, v):
+            out, oc, ok, ov, og = sp.sparse_max_pool3d(
+                f, c, k, v, self.grid_dhw, self.kernel_size, self.out_cap)
+            return out, oc, ok, ov
+        out, oc, ok, ov = jax.vmap(one)(feats, coords, keys, valid)
+        out_grid = tuple(
+            ((np.array(self.grid_dhw) - np.array(self.kernel_size))
+             // np.array(self.kernel_size) + 1).tolist())
+        return out, oc, ok, ov, out_grid
+
+
+class SparseMiddleStack(nn.Module):
+    """Generic sparse middle extractor driven by a stage-op spec — the
+    recombination grammar behind the reference's middle-extractor family
+    (`second/pytorch/models/middle.py:16-963`): every variant is a sequence
+    of submanifold / residual blocks separated by strided downsamples.
+
+    ops: tuple of op tuples —
+        ("subm", ch)                         SubMConv3d(k=3)+BN+ReLU
+        ("res", ch)                          SparseBasicBlock
+        ("bottleneck", ch)                   SparseBottleneck (expansion 4)
+        ("down", ch, kernel, stride, pad)    SparseConv3d+BN+ReLU
+        ("maxpool", kernel)                  SparseMaxPool3d
+    """
+    output_shape: Sequence[int]
+    ops: Tuple[tuple, ...] = ()
+    num_input_features: int = 4
+    use_norm: bool = True
+    cap_factor: float = 1.0
+
+    @nn.compact
+    def __call__(self, voxel_features, coords, valid, train: bool = False):
+        grid = tuple(int(v) for v in self.output_shape)
+        B, N = voxel_features.shape[:2]
+        cap = int(N * self.cap_factor)
+        sort = jax.vmap(lambda c, f, v: sp.sort_active(c, f, v, grid))
+        coords, feats, valid, keys = sort(coords, voxel_features, valid)
+        for op in self.ops:
+            kind = op[0]
+            if kind == "subm":
+                feats = SubMBlock(op[1], grid, self.use_norm)(
+                    feats, coords, keys, valid, train)
+            elif kind == "res":
+                feats = SparseBasicBlock(op[1], grid, self.use_norm)(
+                    feats, coords, keys, valid, train)
+            elif kind == "bottleneck":
+                feats = SparseBottleneck(op[1], grid, self.use_norm)(
+                    feats, coords, keys, valid, train)
+            elif kind == "down":
+                _, ch, kernel, stride, pad = op
+                feats, coords, keys, valid, grid = DownBlock(
+                    ch, grid, kernel_size=tuple(kernel), stride=tuple(stride),
+                    padding=tuple(pad), out_cap=cap,
+                    use_norm=self.use_norm)(feats, coords, keys, valid, train)
+            elif kind == "maxpool":
+                feats, coords, keys, valid, grid = MaxPoolBlock(
+                    grid, tuple(op[1]), out_cap=cap)(
+                        feats, coords, keys, valid, train)
+            else:
+                raise ValueError(f"unknown sparse-middle op {op!r}")
+        dense = jax.vmap(
+            lambda f, c, v: sp.densify(f, c, v, grid))(feats, coords, valid)
+        B_, D, H, W, C = dense.shape
+        return dense.transpose(0, 2, 3, 1, 4).reshape(B_, H, W, D * C)
+
+
+def partial_stack(ops):
+    """Factory: a middle-registry entry that builds a SparseMiddleStack with
+    a fixed op spec (one entry per reference middle class)."""
+    ops = tuple(tuple(tuple(x) if isinstance(x, (list, tuple)) else x
+                      for x in op) for op in ops)
+
+    def make(**kwargs):
+        kwargs.setdefault("ops", ops)
+        return SparseMiddleStack(**kwargs)
+    return make
+
+
+_K3, _S2, _P1, _P011 = (3, 3, 3), (2, 2, 2), (1, 1, 1), (0, 1, 1)
+_KZ, _SZ, _P0 = (3, 1, 1), (2, 1, 1), (0, 0, 0)
+
+# reference middle.py:91-173 — D4 (3 downsamples), 32/64 channels
+register_middle("SpMiddleD4HD", partial_stack((
+    ("subm", 32), ("subm", 32), ("down", 64, _K3, _S2, _P1),
+    ("subm", 64), ("subm", 64), ("subm", 64), ("down", 64, _K3, _S2, _P011),
+    ("subm", 64), ("subm", 64), ("subm", 64), ("down", 64, _KZ, _SZ, _P0))))
+# reference middle.py:175-243 — D4 with residual blocks
+register_middle("SpResNetD4HD", partial_stack((
+    ("subm", 32), ("res", 32), ("res", 32), ("down", 64, _K3, _S2, _P1),
+    ("res", 64), ("res", 64), ("down", 64, _K3, _S2, _P011),
+    ("res", 64), ("res", 64), ("down", 64, _KZ, _SZ, _P0))))
+# reference middle.py:246-329
+register_middle("SpMiddleD4HDLite", partial_stack((
+    ("subm", 16), ("subm", 16), ("down", 32, _K3, _S2, _P1),
+    ("subm", 32), ("subm", 32), ("subm", 32), ("down", 64, _K3, _S2, _P011),
+    ("subm", 64), ("subm", 64), ("subm", 64), ("down", 64, _KZ, _SZ, _P0))))
+# reference middle.py:332-426 — D8 (4 downsamples)
+register_middle("SpMiddleD8HD", partial_stack((
+    ("subm", 16), ("subm", 16), ("down", 32, _K3, _S2, _P1),
+    ("subm", 32), ("subm", 32), ("subm", 32), ("down", 64, _K3, _S2, _P1),
+    ("subm", 64), ("subm", 64), ("subm", 64), ("down", 64, _K3, _S2, _P011),
+    ("subm", 64), ("subm", 64), ("subm", 64), ("down", 64, _KZ, _SZ, _P0))))
+# reference middle.py:528-623 — FHD + trailing SparseMaxPool3d([2,1,1])
+register_middle("SpMiddleFHDV2", partial_stack((
+    ("subm", 16), ("subm", 16), ("down", 32, _K3, _S2, _P1),
+    ("subm", 32), ("subm", 32), ("down", 64, _K3, _S2, _P1),
+    ("subm", 64), ("subm", 64), ("subm", 64), ("down", 64, _K3, _S2, _P011),
+    ("subm", 64), ("subm", 64), ("subm", 64), ("down", 64, _KZ, _SZ, _P0),
+    ("maxpool", (2, 1, 1)))))
+# reference middle.py:625-728 — 3200×2400 extreme resolution (5 downsamples)
+register_middle("SpMiddle2K", partial_stack((
+    ("subm", 8), ("subm", 8), ("down", 16, _K3, _S2, _P1),
+    ("subm", 16), ("subm", 16), ("down", 32, _K3, _S2, _P1),
+    ("subm", 32), ("subm", 32), ("down", 64, _K3, _S2, _P1),
+    ("subm", 64), ("subm", 64), ("subm", 64), ("down", 64, _K3, _S2, _P011),
+    ("subm", 64), ("subm", 64), ("subm", 64), ("down", 64, _KZ, _SZ, _P0))))
+# reference middle.py:871-963 — FHD with 128-wide deep stages
+register_middle("SpMiddleFHDLarge", partial_stack((
+    ("subm", 16), ("subm", 16), ("down", 32, _K3, _S2, _P1),
+    ("subm", 32), ("subm", 32), ("down", 64, _K3, _S2, _P1),
+    ("subm", 64), ("subm", 64), ("subm", 64), ("down", 128, _K3, _S2, _P011),
+    ("subm", 128), ("subm", 128), ("subm", 128),
+    ("down", 128, _KZ, _SZ, _P0))))
+
+
+def make_sparse_middle_extractor(output_shape, num_input_features=4,
+                                 use_norm=True, num_filters_down1=(),
+                                 num_filters_down2=(), cap_factor=1.0,
+                                 **kwargs):
+    """The original SECOND `SparseMiddleExtractor` (reference middle.py:16-89):
+    config-parameterized submanifold chains with two z-only downsamples."""
+    ops = []
+    last = num_input_features
+    for ch in (num_filters_down1 or ()):
+        ops.append(("subm", int(ch)))
+        last = int(ch)
+    ops.append(("down", last, _KZ, _SZ, _P0))
+    for ch in (num_filters_down2 or ()):
+        ops.append(("subm", int(ch)))
+        last = int(ch)
+    ops.append(("down", last, _KZ, _SZ, _P0))
+    return SparseMiddleStack(output_shape=output_shape,
+                             ops=tuple(ops),
+                             num_input_features=num_input_features,
+                             use_norm=use_norm, cap_factor=cap_factor,
+                             **kwargs)
+
+
+register_middle("SparseMiddleExtractor", make_sparse_middle_extractor)
 
 register_middle("SpMiddleFHD", SparseMiddleFHD)
 register_middle("SpMiddleFHDLite", SparseMiddleFHDLite)

@@ -103,6 +103,45 @@ def nearest_nms(boxes_rbv, scores, valid, *, pre_max_size, post_max_size,
                rotated=False)
 
 
+def soft_nms(boxes, scores, valid, *, pre_max_size, post_max_size,
+             sigma=0.5, iou_threshold=0.3, score_threshold=1e-3,
+             method="gaussian", rotated=True):
+    """In-graph soft-NMS (Bodla et al.; reference `nms_cpu.py:66-156`
+    soft_nms_jit): instead of removing overlapping boxes, their scores decay
+    by exp(-iou²/σ) (gaussian) or (1-iou) above the threshold (linear).
+
+    boxes: [N, 5] rotated BEV (or [N, 4] xyxy when rotated=False);
+    scores/valid: [N]. Returns (indices [post_max_size], rescored scores,
+    keep mask) — picks in descending rescored order, masked at
+    score_threshold.
+    """
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    masked = jnp.where(valid, scores, neg_inf)
+    k = min(pre_max_size, boxes.shape[0])
+    top_scores, top_idx = jax.lax.top_k(masked, k)
+    cand = boxes[top_idx]
+    iou = rotated_iou_matrix(cand, cand) if rotated \
+        else standup_iou_matrix(cand, cand)
+    m = min(post_max_size, k)
+
+    def step(cur, _):
+        best = jnp.argmax(cur)
+        best_score = cur[best]
+        row = iou[best]
+        if method == "gaussian":
+            decay = jnp.exp(-(row * row) / sigma)
+        else:
+            decay = jnp.where(row > iou_threshold, 1.0 - row, 1.0)
+        # keep already-picked entries at -inf (avoid -inf * 0 → nan)
+        cur = jnp.where(jnp.isfinite(cur), cur * decay, neg_inf)
+        cur = cur.at[best].set(neg_inf)
+        return cur, (best, best_score)
+
+    _, (picks, pick_scores) = jax.lax.scan(step, top_scores, None, length=m)
+    keep = jnp.isfinite(pick_scores) & (pick_scores >= score_threshold)
+    return top_idx[picks], jnp.where(keep, pick_scores, 0.0), keep
+
+
 def multiclass_nms(boxes, scores, valid, *, num_classes, pre_max_size,
                    post_max_size, iou_threshold, score_threshold=0.0,
                    rotated=True):

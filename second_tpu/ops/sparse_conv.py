@@ -240,6 +240,42 @@ def sparse_conv3d(features, coords, keys_sorted, valid, grid_dhw, weights,
     return out, out_coords, out_keys, out_valid, out_grid
 
 
+def sparse_max_pool3d(features, coords, keys_sorted, valid, grid_dhw,
+                      kernel_size, out_cap, stride=None,
+                      padding=(0, 0, 0)):
+    """Sparse max pooling (spconv.SparseMaxPool3d, used by SpMiddleFHDV2,
+    reference `middle.py:605`). stride defaults to kernel_size.
+
+    Returns (out_features [M, C], out_coords, out_keys, out_valid, out_grid).
+    """
+    if stride is None:
+        stride = kernel_size
+    out_coords, out_valid, out_keys, out_grid = downsample_coords(
+        coords, valid, grid_dhw, kernel_size, stride, padding, out_cap)
+    kernel = np.array(kernel_size, np.int32)
+    stride = np.array(stride, np.int32)
+    padding = np.array(padding, np.int32)
+    grid = np.array(grid_dhw, np.int32)
+    sen = sentinel(grid_dhw)
+    offs = _offsets(tuple(kernel.tolist()))
+    K = offs.shape[0]
+
+    qks, inbs = [], []
+    for o in range(K):
+        ic = out_coords * stride - padding + offs[o]
+        inb = ((ic >= 0) & (ic < grid)).all(-1) & out_valid
+        qks.append(jnp.where(inb, linearize(ic, grid_dhw), sen))
+        inbs.append(inb)
+    idx, found = lookup_many(keys_sorted, jnp.stack(qks), jnp.stack(inbs))
+    neg = jnp.finfo(features.dtype).min
+    gathered = [jnp.where(found[o][:, None], features[idx[o]], neg)
+                for o in range(K)]
+    out = jnp.stack(gathered).max(0)
+    # every valid output site has >= 1 contributing input by construction
+    out = jnp.where(out_valid[:, None], out, 0.0)
+    return out, out_coords, out_keys, out_valid, out_grid
+
+
 def densify(features, coords, valid, grid_dhw, batch_idx=None):
     """Scatter an active set to a dense [D, H, W, C] canvas (single frame)."""
     D, H, W = grid_dhw

@@ -60,6 +60,91 @@ def manual_stepping_schedule(cfg: schema.LearningRateConfig,
         {b: rates[i + 1] / rates[i] for i, b in enumerate(boundaries)})
 
 
+def _phase_namespace():
+    """Names available inside multi_phase lambda strings (the reference
+    eval's them verbatim, `learning_schedules_fastai.py:21-22`; the usual
+    body is `annealing_cos`)."""
+    import jax.numpy as jnp
+
+    def annealing_cos(start, end, pct):
+        return end + (start - end) / 2 * (jnp.cos(jnp.pi * pct) + 1)
+
+    return {"annealing_cos": annealing_cos, "math": math, "np": jnp,
+            "jnp": jnp, "__builtins__": {}}
+
+
+def _compile_phases(phase_items, total_steps):
+    """[(start_frac, lambda_str)] → step→value schedule with the reference's
+    last-matching-phase-wins semantics (`LRSchedulerStep.step`)."""
+    import jax.numpy as jnp
+    ns = _phase_namespace()
+    spans = []
+    for i, (start, fn_str) in enumerate(phase_items):
+        s = int(start * total_steps)
+        e = (int(phase_items[i + 1][0] * total_steps)
+             if i < len(phase_items) - 1 else total_steps)
+        spans.append((s, max(e, s + 1), eval(fn_str, ns)))
+    assert spans[0][0] == 0, "first multi_phase phase must start at 0"
+
+    def sched(step):
+        s0, e0, f0 = spans[0]
+        val = f0(step / (e0 - s0))
+        for s, e, f in spans[1:]:
+            val = jnp.where(step >= s, f((step - s) / (e - s)), val)
+        return val
+    return sched
+
+
+def multi_phase_schedules(cfg: schema.LearningRateConfig, total_steps: int
+                          ) -> Tuple[Callable, Callable | None]:
+    """The reference's MultiPhase schedule (`optimizer.proto` LearningRatePhase
+    {start, lambda_func, momentum_lambda_func}; `lr_scheduler_builder` →
+    `LRSchedulerStep`, `learning_schedules_fastai.py:8-46`)."""
+    lr_items = [(float(p.get("start", 0.0)), p["lambda_func"])
+                for p in cfg.phases]
+    lr_sched = _compile_phases(lr_items, total_steps)
+    mom_items = [(float(p.get("start", 0.0)), p["momentum_lambda_func"])
+                 for p in cfg.phases if p.get("momentum_lambda_func")]
+    mom_sched = (_compile_phases(mom_items, total_steps)
+                 if mom_items else None)
+    return lr_sched, mom_sched
+
+
+def exponential_decay_schedule(base_lr, decay_steps, decay_factor,
+                               staircase=True, burnin_learning_rate=0.0,
+                               burnin_steps=0):
+    """The legacy TF-style ExponentialDecay[WithBurnin]
+    (`torchplus/train/learning_schedules.py:90-142`)."""
+    import jax.numpy as jnp
+
+    def sched(step):
+        exp = (step // decay_steps) if staircase else (step / decay_steps)
+        lr = base_lr * jnp.power(decay_factor, exp)
+        if burnin_steps > 0:
+            burn = burnin_learning_rate or base_lr
+            lr = jnp.where(step < burnin_steps, burn, lr)
+        return lr
+    return sched
+
+
+def cosine_decay_with_warmup_schedule(base_lr, total_steps,
+                                      warmup_learning_rate=0.0,
+                                      warmup_steps=0):
+    """Legacy CosineDecayWithWarmup (`learning_schedules.py:145-178`)."""
+    import jax.numpy as jnp
+
+    def sched(step):
+        lr = 0.5 * base_lr * (1 + jnp.cos(
+            jnp.pi * (step - warmup_steps) /
+            max(total_steps - warmup_steps, 1)))
+        if warmup_steps > 0:
+            slope = (base_lr - warmup_learning_rate) / warmup_steps
+            lr = jnp.where(step < warmup_steps,
+                           slope * step + warmup_learning_rate, lr)
+        return lr
+    return sched
+
+
 def build_lr_schedules(cfg: schema.LearningRateConfig, total_steps: int
                        ) -> Tuple[Callable, Callable | None]:
     """Returns (lr_schedule, momentum_schedule_or_None)."""
@@ -68,12 +153,7 @@ def build_lr_schedules(cfg: schema.LearningRateConfig, total_steps: int
     if cfg.kind == "manual_stepping":
         return manual_stepping_schedule(cfg, total_steps), None
     if cfg.kind == "multi_phase":
-        # phases: list of {start, lambda_func} — approximate with the first
-        # phase's start lr held constant per phase boundary is not expressible
-        # without eval'ing lambdas; fall back to constant first rate.
-        raise NotImplementedError(
-            "multi_phase schedules are not supported; use one_cycle or "
-            "manual_stepping")
+        return multi_phase_schedules(cfg, total_steps)
     raise ValueError(f"unknown learning-rate kind {cfg.kind}")
 
 
