@@ -38,7 +38,13 @@ def _greedy_suppress(iou, valid, iou_threshold):
     # strictly-upper overlap matrix: over[j, i] = higher-ranked j suppresses i
     upper = jnp.triu(jnp.ones((K, K), bool), k=1)
     over = (iou > iou_threshold) & upper & valid[:, None] & valid[None, :]
-    over_f = over.astype(jnp.float32)
+    return _greedy_suppress_over(over.astype(jnp.float32), valid)
+
+
+def _greedy_suppress_over(over_f, valid):
+    """Frontier-iteration greedy suppression from a precomputed strictly-
+    upper float overlap matrix (see `_greedy_suppress`)."""
+    K = over_f.shape[0]
 
     def cond(state):
         undecided, _ = state
@@ -62,8 +68,54 @@ def _greedy_suppress(iou, valid, iou_threshold):
     return keep
 
 
+def _sparse_rotated_over(cand, top_valid, iou_threshold, max_pairs):
+    """Exact `rotated_iou > threshold` upper-triangle matrix, computed
+    sparsely: the standup envelope gives the exact bound
+    iou_rot ≤ inter_standup / (a1 + a2 - inter_standup), so polygon clipping
+    runs only on the ≤ max_pairs candidate pairs that can possibly exceed
+    the threshold (pair lists are compacted with a prefix sum, results
+    scattered back). Detection workloads have O(K) overlapping pairs, so
+    this replaces the K² Sutherland–Hodgman pipeline — the NMS hot spot —
+    with a ~max_pairs one. Pairs beyond the cap (never hit in practice;
+    cap ≈ 8 pairs/box) are treated as non-overlapping.
+    """
+    from .rotated_iou import quad_intersection_area, rbbox_to_corners
+    K = cand.shape[0]
+    corners = rbbox_to_corners(cand)                      # [K, 4, 2]
+    standup = jnp.concatenate([corners.min(-2), corners.max(-2)], -1)
+    lt = jnp.maximum(standup[:, None, :2], standup[None, :, :2])
+    rb = jnp.minimum(standup[:, None, 2:], standup[None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter_st = wh[..., 0] * wh[..., 1]
+    areas = cand[:, 2] * cand[:, 3]
+    asum = areas[:, None] + areas[None, :]
+    bound = inter_st / jnp.maximum(asum - inter_st, 1e-12)
+
+    upper = jnp.triu(jnp.ones((K, K), bool), k=1)
+    maybe = (bound > iou_threshold) & upper & \
+        top_valid[:, None] & top_valid[None, :]
+
+    flat = maybe.reshape(-1)
+    pos = jnp.cumsum(flat) - 1
+    lin = jnp.arange(K * K, dtype=jnp.int32)
+    scatter_to = jnp.where(flat & (pos < max_pairs), pos, max_pairs)
+    plist = jnp.zeros((max_pairs,), jnp.int32).at[scatter_to].set(
+        lin, mode="drop")
+    pair_n = jnp.minimum(flat.sum(), max_pairs)
+    pair_ok = jnp.arange(max_pairs) < pair_n
+    pi = plist // K
+    pj = plist % K
+
+    inter = quad_intersection_area(corners[pi], corners[pj])   # [P]
+    iou = inter / jnp.maximum(areas[pi] + areas[pj] - inter, 1e-12)
+    over_pair = pair_ok & (iou > iou_threshold)
+    over = jnp.zeros((K * K,), jnp.float32).at[plist].max(
+        over_pair.astype(jnp.float32), mode="drop")
+    return over.reshape(K, K)
+
+
 def nms(boxes, scores, valid, *, pre_max_size, post_max_size, iou_threshold,
-        rotated=True):
+        rotated=True, max_pairs=8192):
     """Single-class NMS.
 
     Args:
@@ -81,10 +133,12 @@ def nms(boxes, scores, valid, *, pre_max_size, post_max_size, iou_threshold,
     top_valid = jnp.isfinite(top_scores)
     cand = boxes[top_idx]
     if rotated:
-        iou = rotated_iou_matrix(cand, cand)
+        over_f = _sparse_rotated_over(cand, top_valid, iou_threshold,
+                                      min(max_pairs, k * k))
+        keep = _greedy_suppress_over(over_f, top_valid)
     else:
         iou = standup_iou_matrix(cand, cand)
-    keep = _greedy_suppress(iou, top_valid, iou_threshold)
+        keep = _greedy_suppress(iou, top_valid, iou_threshold)
 
     keep_scores = jnp.where(keep, top_scores, neg_inf)
     m = min(post_max_size, k)

@@ -111,6 +111,110 @@ def _offsets(kernel_size: Tuple[int, int, int]) -> np.ndarray:
         *(range(k) for k in kernel_size))), np.int32)  # [K, 3] zyx
 
 
+def lookup_rank(keys_sorted, query_keys, block: int = 128):
+    """Insertion ranks of [G, Q] query keys in the sorted key array.
+
+    rank[g, q] = #{keys < query} — the bucketed two-level scheme of
+    `lookup_many`, but returning ranks instead of exact-match slots so the
+    caller can window-gather consecutive rows (x-neighbor trick).
+    """
+    G, Q = query_keys.shape
+    N = keys_sorted.shape[0]
+    while N % block:
+        block //= 2
+    nb = N // block
+    q = query_keys.reshape(-1)                       # [GQ]
+    pivots = keys_sorted[::block]                    # [nb]
+    ge = (q[:, None] >= pivots[None, :])
+    bucket = jnp.clip(ge.sum(-1) - 1, 0, nb - 1).astype(jnp.int32)
+    onehot = (jnp.arange(nb, dtype=jnp.int32)[None, :] ==
+              bucket[:, None]).astype(jnp.float32)
+    keys2d = keys_sorted.reshape(nb, block)
+    hi = (keys2d >> 16).astype(jnp.float32)
+    lo = (keys2d & 0xFFFF).astype(jnp.float32)
+    rows_hi = jax.lax.dot(onehot, hi, precision=jax.lax.Precision.HIGHEST)
+    rows_lo = jax.lax.dot(onehot, lo, precision=jax.lax.Precision.HIGHEST)
+    rows = (rows_hi.astype(jnp.int32) << 16) | rows_lo.astype(jnp.int32)
+    rank = bucket * block + (rows < q[:, None]).sum(-1).astype(jnp.int32)
+    return rank.reshape(G, Q)
+
+
+def gather_taps(features, keys_sorted, base_coords, base_valid, grid_dhw,
+                kernel_size):
+    """Gather neighbor features for every kernel tap — x-window grouped.
+
+    In sorted-linear-key order the x±1 neighbors of a site are *adjacent
+    array rows*, so the K = kz·ky·kx per-offset lookups collapse to kz·ky
+    rank lookups (one per (dz, dy) plane) and each plane's kx taps come from
+    ONE wide gather of kx channel-concatenated row-shifted copies
+    (wide monotone row gathers are far faster on TPU than K narrow ones).
+
+    Args:
+        features [N, C]; keys_sorted [N] (sentinel-padded, strictly
+        increasing over valid rows); base_coords [Q, 3] zyx of each query's
+        kernel origin (tap (0,0,0) position); base_valid [Q].
+    Returns:
+        stacked [K, Q, C] tap features, zeros where the tap is inactive,
+        tap order = itertools.product(range(kz), range(ky), range(kx)).
+    """
+    kz, ky, kx = (int(k) for k in kernel_size)
+    N, C = features.shape
+    D, H, W = grid_dhw
+    sen = sentinel(grid_dhw)
+    grid = np.array(grid_dhw, np.int32)
+
+    # augmented array: kx row-shifted feature copies + their keys (hi/lo
+    # fp32-exact halves) so tap-found masks come from the same gather
+    shifted_f = [features] + [jnp.roll(features, -i, axis=0)
+                              for i in range(1, kx)]
+    shifted_k = [keys_sorted] + [jnp.roll(keys_sorted, -i, axis=0)
+                                 for i in range(1, kx)]
+    key_ch = []
+    for k in shifted_k:
+        key_ch.append((k >> 16).astype(features.dtype))
+        key_ch.append((k & 0xFFFF).astype(features.dtype))
+    aug = jnp.concatenate(shifted_f + [jnp.stack(key_ch, -1)], axis=-1)
+
+    # group masks check z/y bounds only; x bounds are per-tap (the window
+    # origin x0 may be -1 for centered kernels while taps x0+1.. are valid —
+    # linearize is affine in x, so an out-of-range origin key still anchors
+    # the rank window correctly, and per-tap key compares reject wraps)
+    qks, masks = [], []
+    for dz in range(kz):
+        for dy in range(ky):
+            zy = base_coords + np.array([dz, dy, 0], np.int32)
+            inb = ((zy[:, :2] >= 0) & (zy[:, :2] < grid[:2])).all(-1)
+            inb &= base_valid
+            qks.append(jnp.where(inb, linearize(zy, grid_dhw), sen))
+            masks.append(inb)
+    qk = jnp.stack(qks)                              # [kz*ky, Q]
+    zy_ok = jnp.stack(masks)
+    rank = lookup_rank(keys_sorted, qk)              # [kz*ky, Q]
+    safe = jnp.clip(rank, 0, N - 1)
+    rank_ok = rank < N
+
+    gathered = aug[safe]                             # [kz*ky, Q, kx*C + 2kx]
+    x0 = base_coords[:, 2]
+    out = []
+    for g in range(kz * ky):
+        rows_f = [gathered[g, :, i * C:(i + 1) * C] for i in range(kx)]
+        kb = kx * C
+        rows_key = [
+            (gathered[g, :, kb + 2 * i].astype(jnp.int32) << 16) |
+            gathered[g, :, kb + 2 * i + 1].astype(jnp.int32)
+            for i in range(kx)]
+        for j in range(kx):
+            want = qk[g] + j
+            x_ok = ((x0 + j) >= 0) & ((x0 + j) < W)  # no row-major wrap
+            ok_base = zy_ok[g] & rank_ok[g] & x_ok
+            feat = jnp.zeros_like(rows_f[0])
+            for i in range(kx):
+                hit = ok_base & (rows_key[i] == want)
+                feat = jnp.where(hit[:, None], rows_f[i], feat)
+            out.append(feat)
+    return jnp.stack(out)                            # [K, Q, C]
+
+
 def subm_conv3d(features, coords, keys_sorted, valid, grid_dhw, weights,
                 bias=None):
     """Submanifold 3D conv over a sorted active set.
@@ -121,20 +225,9 @@ def subm_conv3d(features, coords, keys_sorted, valid, grid_dhw, weights,
     """
     K = weights.shape[0]
     kernel_size = _round_kernel(K)
-    offs = _offsets(kernel_size) - np.array(kernel_size, np.int32) // 2
-    grid = np.array(grid_dhw, np.int32)
-    sen = sentinel(grid_dhw)
-
-    qks, inbs = [], []
-    for o in range(K):
-        nc = coords + offs[o]
-        inb = ((nc >= 0) & (nc < grid)).all(-1) & valid
-        qks.append(jnp.where(inb, linearize(nc, grid_dhw), sen))
-        inbs.append(inb)
-    idx, found = lookup_many(keys_sorted, jnp.stack(qks), jnp.stack(inbs))
-    gathered = [jnp.where(found[o][:, None], features[idx[o]], 0.0)
-                for o in range(K)]
-    stacked = jnp.stack(gathered)                       # [K, N, Cin]
+    base = coords - np.array(kernel_size, np.int32) // 2
+    stacked = gather_taps(features, keys_sorted, base, valid, grid_dhw,
+                          kernel_size)                  # [K, N, Cin]
     out = jnp.einsum("knc,kcd->nd", stacked, weights,
                      preferred_element_type=jnp.float32)
     if bias is not None:
@@ -214,24 +307,12 @@ def sparse_conv3d(features, coords, keys_sorted, valid, grid_dhw, weights,
         precomputed = downsample_coords(coords, valid, grid_dhw, kernel_size,
                                         stride, padding, out_cap)
     out_coords, out_valid, out_keys, out_grid = precomputed
-    kernel_size = np.array(kernel_size, np.int32)
-    stride = np.array(stride, np.int32)
-    padding = np.array(padding, np.int32)
-    grid = np.array(grid_dhw, np.int32)
-    sen = sentinel(grid_dhw)
-    offs = _offsets(tuple(kernel_size.tolist()))
-    K = offs.shape[0]
-
-    qks, inbs = [], []
-    for o in range(K):
-        ic = out_coords * stride - padding + offs[o]
-        inb = ((ic >= 0) & (ic < grid)).all(-1) & out_valid
-        qks.append(jnp.where(inb, linearize(ic, grid_dhw), sen))
-        inbs.append(inb)
-    idx, found = lookup_many(keys_sorted, jnp.stack(qks), jnp.stack(inbs))
-    gathered = [jnp.where(found[o][:, None], features[idx[o]], 0.0)
-                for o in range(K)]
-    stacked = jnp.stack(gathered)                       # [K, M, Cin]
+    kernel_np = np.array(kernel_size, np.int32)
+    stride_np = np.array(stride, np.int32)
+    padding_np = np.array(padding, np.int32)
+    base = out_coords * stride_np - padding_np          # tap (0,0,0) origin
+    stacked = gather_taps(features, keys_sorted, base, out_valid, grid_dhw,
+                          tuple(kernel_np.tolist()))    # [K, M, Cin]
     out = jnp.einsum("knc,kcd->nd", stacked, weights,
                      preferred_element_type=jnp.float32)
     if bias is not None:
