@@ -1,14 +1,18 @@
-"""Benchmark: end-to-end frames/sec/chip for the flagship single-frame car
-detector — the full voxelize → VFE → scatter → RPN → decode → NMS path as one
-jitted program (BASELINE.json north-star metric).
+"""Benchmark: end-to-end frames/sec/chip on the reference's canonical config.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Measures the full voxelize → VFE → sparse middle → RPN → decode → rotated-NMS
+path as one jitted program on BOTH ladder configs:
+  * SECOND car.fhd (SpMiddleFHD sparse middle) — the reference's canonical
+    model and the headline metric, and
+  * PointPillars car (dense pillar scatter) — reported alongside.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 Timing methodology: on this environment's tunneled TPU runtime,
 `block_until_ready` acks before remote execution completes, so each timed
-call is forced to completion by a full host fetch of its outputs
-(np.asarray). This charges the host round-trip to every call — a
-conservative serving-latency measurement.
+call is forced to completion by a host fetch of a small output. This charges
+the host round-trip (~30 ms on this tunnel) to every call — a conservative
+serving-latency measurement.
 
 `vs_baseline` is value / 20.0: the reference stack (SECOND v1.5-era PyTorch +
 spconv on a GTX 1080Ti, per RELEASE.md / Dockerfile CUDA 9) sustains roughly
@@ -24,39 +28,78 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
 
 BATCH = 4
+ITERS = 20
+
+
+def _measure(config_path, max_points, max_voxels, batch=BATCH, iters=ITERS):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from second_tpu.config import load_pipeline_config
+    from second_tpu.data import ExamplePrep, PrepConfig
+    from second_tpu.data.synthetic import sample_scene
+    from second_tpu.models import build_voxelnet
+    from second_tpu.models.detector import predict
+    from second_tpu.train import VoxelizeSpec
+    from second_tpu.train.state import device_voxelize
+
+    cfg = load_pipeline_config(config_path)
+    module, spec, info, assigner, coder = build_voxelnet(
+        cfg.model, mixed_precision=cfg.train_config.enable_mixed_precision)
+    vspec = VoxelizeSpec.from_config(cfg.model.voxel_generator, max_voxels)
+    prep = ExamplePrep(assigner, info.feature_map_size,
+                       PrepConfig(max_points=max_points, training=False))
+    pc_range = tuple(cfg.model.voxel_generator.point_cloud_range)
+    p, b, n = sample_scene(np.random.default_rng(0), pc_range=pc_range,
+                           num_ground=max_points // 3)
+    ex = prep({"points": p, "gt_boxes": b, "gt_names": n, "image_idx": 0})
+    batch_np = prep.collate([ex] * batch)
+    points = jnp.asarray(batch_np["points"])
+    points_mask = jnp.asarray(batch_np["points_mask"])
+    anchors = jnp.asarray(batch_np["anchors"])
+    variables = module.init(
+        jax.random.PRNGKey(0),
+        **_vox_kwargs(vspec, points, points_mask))
+
+    @jax.jit
+    def forward(variables, points, points_mask, anchors):
+        vox = device_voxelize(vspec, points, points_mask)
+        preds = module.apply(variables, vox["voxels"], vox["num_points"],
+                             vox["coordinates"], vox["voxel_valid"],
+                             train=False)
+        return predict(spec, preds, anchors)
+
+    out = forward(variables, points, points_mask, anchors)
+    np.asarray(out["scores"])   # compile + warmup, forced
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(variables, points, points_mask, anchors)
+        np.asarray(out["scores"])   # host fetch forces completion
+    dt = time.perf_counter() - t0
+    return iters * batch / dt
+
+
+def _vox_kwargs(vspec, points, points_mask):
+    from second_tpu.train.state import device_voxelize
+    v = device_voxelize(vspec, points, points_mask)
+    return dict(voxels=v["voxels"], num_points=v["num_points"],
+                coords=v["coordinates"], voxel_valid=v["voxel_valid"],
+                train=False)
 
 
 def main():
-    import jax
-    import numpy as np
-
-    from __graft_entry__ import entry
-
-    fn, (variables, points, points_mask, anchors) = entry()
-    # throughput batch: replicate the frame along the batch axis
-    import jax.numpy as jnp
-    points = jnp.tile(points, (BATCH, 1, 1))
-    points_mask = jnp.tile(points_mask, (BATCH, 1))
-    anchors = jnp.tile(anchors, (BATCH, 1, 1))
-
-    jfn = jax.jit(fn)
-    out = jfn(variables, points, points_mask, anchors)
-    jax.tree.map(np.asarray, out)   # compile + warmup, forced
-
-    iters = 20
-    rng = np.random.default_rng(0)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = jfn(variables, points, points_mask, anchors)
-        np.asarray(out["scores"])   # host fetch forces completion
-    dt = time.perf_counter() - t0
-
-    fps = iters * BATCH / dt
+    fhd_fps = _measure("second_tpu/configs/second_car_fhd.config",
+                       max_points=25000, max_voxels=16000)
+    pp_fps = _measure("second_tpu/configs/pointpillars_car.config",
+                      max_points=20000, max_voxels=12000)
     print(json.dumps({
-        "metric": "kitti_frames_per_sec_per_chip_e2e",
-        "value": round(fps, 2),
+        "metric": "kitti_fhd_frames_per_sec_per_chip_e2e",
+        "value": round(fhd_fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 20.0, 3),
+        "vs_baseline": round(fhd_fps / 20.0, 3),
+        "pointpillars_fps": round(pp_fps, 2),
     }))
 
 
