@@ -169,11 +169,14 @@ class DownBlock(nn.Module):
             "conv_bias", nn.initializers.zeros, (self.features,))
 
         def one(f, c, k, v):
-            out, oc, ok, ov, og = sp.sparse_conv3d(
+            out, oc, ok, ov, og, nu = sp.sparse_conv3d(
                 f, c, k, v, self.grid_dhw, w, self.kernel_size, self.stride,
                 self.padding, self.out_cap, bias)
-            return out, oc, ok, ov
-        out, oc, ok, ov = jax.vmap(one)(feats, coords, keys, valid)
+            return out, oc, ok, ov, nu
+        out, oc, ok, ov, nu = jax.vmap(one)(feats, coords, keys, valid)
+        # overflow telemetry: active sites truncated by the stage capacity
+        self.sow("intermediates", "stage_overflow",
+                 jnp.maximum(nu - self.out_cap, 0).sum())
         if self.use_norm:
             out = MaskedBatchNorm()(out, ov, train)
         out = nn.relu(out) * ov[..., None]
@@ -332,10 +335,12 @@ class MaxPoolBlock(nn.Module):
     @nn.compact
     def __call__(self, feats, coords, keys, valid, train: bool = False):
         def one(f, c, k, v):
-            out, oc, ok, ov, og = sp.sparse_max_pool3d(
+            out, oc, ok, ov, og, nu = sp.sparse_max_pool3d(
                 f, c, k, v, self.grid_dhw, self.kernel_size, self.out_cap)
-            return out, oc, ok, ov
-        out, oc, ok, ov = jax.vmap(one)(feats, coords, keys, valid)
+            return out, oc, ok, ov, nu
+        out, oc, ok, ov, nu = jax.vmap(one)(feats, coords, keys, valid)
+        self.sow("intermediates", "stage_overflow",
+                 jnp.maximum(nu - self.out_cap, 0).sum())
         out_grid = tuple(
             ((np.array(self.grid_dhw) - np.array(self.kernel_size))
              // np.array(self.kernel_size) + 1).tolist())

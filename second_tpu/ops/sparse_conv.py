@@ -248,7 +248,9 @@ def downsample_coords(coords, valid, grid_dhw, kernel_size, stride, padding,
     """Active output sites of a strided sparse conv.
 
     Returns (out_coords [M, 3] sorted, out_valid [M], out_keys [M],
-    out_grid_dhw). M = out_cap (static).
+    out_grid_dhw, n_unique). M = out_cap (static); n_unique is the true
+    number of active output sites before capacity truncation (overflow
+    telemetry: n_unique - M when positive).
     """
     kernel_size = np.array(kernel_size, np.int32)
     stride = np.array(stride, np.int32)
@@ -291,7 +293,8 @@ def downsample_coords(coords, valid, grid_dhw, kernel_size, stride, padding,
     ox = out_keys % W
     out_coords = jnp.where(out_valid[:, None],
                            jnp.stack([oz, oy, ox], -1).astype(jnp.int32), 0)
-    return out_coords, out_valid, out_keys, out_grid
+    n_unique = is_first.sum().astype(jnp.int32)
+    return out_coords, out_valid, out_keys, out_grid, n_unique
 
 
 def sparse_conv3d(features, coords, keys_sorted, valid, grid_dhw, weights,
@@ -300,13 +303,13 @@ def sparse_conv3d(features, coords, keys_sorted, valid, grid_dhw, weights,
     """Strided ("regular") sparse 3D conv.
 
     weights [K, Cin, Cout]; returns (out_features [M, Cout], out_coords,
-    out_keys, out_valid, out_grid). Pass `precomputed` (the tuple returned by
-    `downsample_coords`) to reuse output-site generation.
+    out_keys, out_valid, out_grid, n_unique). Pass `precomputed` (the tuple
+    returned by `downsample_coords`) to reuse output-site generation.
     """
     if precomputed is None:
         precomputed = downsample_coords(coords, valid, grid_dhw, kernel_size,
                                         stride, padding, out_cap)
-    out_coords, out_valid, out_keys, out_grid = precomputed
+    out_coords, out_valid, out_keys, out_grid, n_unique = precomputed
     kernel_np = np.array(kernel_size, np.int32)
     stride_np = np.array(stride, np.int32)
     padding_np = np.array(padding, np.int32)
@@ -318,7 +321,7 @@ def sparse_conv3d(features, coords, keys_sorted, valid, grid_dhw, weights,
     if bias is not None:
         out = out + bias
     out = jnp.where(out_valid[:, None], out, 0.0)
-    return out, out_coords, out_keys, out_valid, out_grid
+    return out, out_coords, out_keys, out_valid, out_grid, n_unique
 
 
 def sparse_max_pool3d(features, coords, keys_sorted, valid, grid_dhw,
@@ -327,11 +330,12 @@ def sparse_max_pool3d(features, coords, keys_sorted, valid, grid_dhw,
     """Sparse max pooling (spconv.SparseMaxPool3d, used by SpMiddleFHDV2,
     reference `middle.py:605`). stride defaults to kernel_size.
 
-    Returns (out_features [M, C], out_coords, out_keys, out_valid, out_grid).
+    Returns (out_features [M, C], out_coords, out_keys, out_valid,
+    out_grid, n_unique).
     """
     if stride is None:
         stride = kernel_size
-    out_coords, out_valid, out_keys, out_grid = downsample_coords(
+    out_coords, out_valid, out_keys, out_grid, n_unique = downsample_coords(
         coords, valid, grid_dhw, kernel_size, stride, padding, out_cap)
     kernel = np.array(kernel_size, np.int32)
     stride = np.array(stride, np.int32)
@@ -354,7 +358,7 @@ def sparse_max_pool3d(features, coords, keys_sorted, valid, grid_dhw,
     out = jnp.stack(gathered).max(0)
     # every valid output site has >= 1 contributing input by construction
     out = jnp.where(out_valid[:, None], out, 0.0)
-    return out, out_coords, out_keys, out_valid, out_grid
+    return out, out_coords, out_keys, out_valid, out_grid, n_unique
 
 
 def densify(features, coords, valid, grid_dhw, batch_idx=None):

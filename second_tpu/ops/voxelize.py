@@ -66,8 +66,8 @@ def voxelize(points, points_mask, *, voxel_size, point_cloud_range,
     is_first = jnp.concatenate(
         [valid_s[:1], (lin_s[1:] != lin_s[:-1]) & valid_s[1:]])
     voxel_idx = jnp.cumsum(is_first) - 1                     # [P]
-    num_voxels = jnp.minimum(voxel_idx[-1] + 1, max_voxels).astype(jnp.int32)
-    num_voxels = jnp.where(valid_s.any(), num_voxels, 0)
+    num_unique = jnp.where(valid_s.any(), voxel_idx[-1] + 1, 0)
+    num_voxels = jnp.minimum(num_unique, max_voxels).astype(jnp.int32)
 
     # slot of each point within its voxel (stable sort keeps arrival order)
     idx = jnp.arange(P)
@@ -102,6 +102,9 @@ def voxelize(points, points_mask, *, voxel_size, point_cloud_range,
         "num_points": num_points,
         "num_voxels": num_voxels,
         "point_voxel": point_voxel,
+        # overflow telemetry: occupied voxels beyond capacity (truncated)
+        "voxel_overflow": jnp.maximum(
+            num_unique - max_voxels, 0).astype(jnp.int32),
     }
 
 

@@ -246,6 +246,10 @@ class Trainer:
         """Host-side detection→KITTI-anno conversion for one batch (runs
         while the device executes the next batch)."""
         det = {k: np.asarray(v) for k, v in det.items()}
+        for key in ("voxel_overflow", "stage_overflow"):
+            if key in det:
+                self._eval_overflow[key] = (
+                    self._eval_overflow.get(key, 0) + int(det.pop(key)))
         for b, scene in enumerate(scenes):
             valid = det["valid"][b]
             if self.synthetic:
@@ -289,6 +293,7 @@ class Trainer:
         workers = max(1, min(4, self.cfg.eval_input_reader.num_workers))
         starts = range(0, n - n % batch_size, batch_size)
         gt_annos, dt_annos = [], []
+        self._eval_overflow = {}
         t0 = time.time()
         pending = None   # (device detections, scenes) of the previous batch
         for scenes, jbatch in bounded_ordered_map(
@@ -308,7 +313,8 @@ class Trainer:
             gt_annos, dt_annos, classes)
         step = int(state.step)
         self.logger.log_text(step, "eval", text)
-        self.logger.log(step, {"frames_per_sec": fps, **{
+        self.logger.log(step, {"frames_per_sec": fps,
+                               **self._eval_overflow, **{
             k: v[1] for k, v in detail.items() if "/3d" in k}}, prefix="eval")
         return detail
 

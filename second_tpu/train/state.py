@@ -51,7 +51,17 @@ def device_voxelize(vspec: VoxelizeSpec, points, points_mask):
         "num_points": out["num_points"],
         "coordinates": jnp.where(voxel_valid[..., None], out["coords"], 0),
         "voxel_valid": voxel_valid,
+        "voxel_overflow": out["voxel_overflow"].sum(),
     }
+
+
+def sum_stage_overflow(intermediates) -> jnp.ndarray:
+    """Sum all `stage_overflow` telemetry leaves sown by sparse stages."""
+    total = jnp.zeros((), jnp.int32)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(intermediates)[0]:
+        if any(getattr(k, "key", None) == "stage_overflow" for k in path):
+            total = total + jnp.asarray(leaf).sum().astype(jnp.int32)
+    return total
 
 
 class TrainState(struct.PyTreeNode):
@@ -88,11 +98,15 @@ def make_train_step(spec: DetectorSpec, vspec: VoxelizeSpec):
         variables = {"params": params, "batch_stats": batch_stats}
         preds, mutated = apply_fn(
             variables, vox["voxels"], vox["num_points"], vox["coordinates"],
-            vox["voxel_valid"], train=True, mutable=["batch_stats"])
+            vox["voxel_valid"], train=True,
+            mutable=["batch_stats", "intermediates"])
         loss_dict = compute_loss(spec, preds, batch["labels"],
                                  batch["reg_targets"], batch["anchors"],
                                  batch.get("gt_boxes_padded"),
                                  batch.get("gt_valid"))
+        loss_dict["voxel_overflow"] = vox["voxel_overflow"]
+        loss_dict["stage_overflow"] = sum_stage_overflow(
+            mutated.get("intermediates", {}))
         return loss_dict["loss"], (loss_dict, mutated["batch_stats"])
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -113,6 +127,8 @@ def make_train_step(spec: DetectorSpec, vspec: VoxelizeSpec):
             "cls_neg_loss": aux["cls_neg_loss"],
             "num_pos": aux["num_pos"],
             "grad_norm": optax.global_norm(grads),
+            "voxel_overflow": aux["voxel_overflow"],
+            "stage_overflow": aux["stage_overflow"],
         }
         if "dir_loss_reduced" in aux:
             metrics["dir_loss"] = aux["dir_loss_reduced"]
@@ -136,10 +152,14 @@ def make_eval_step(spec: DetectorSpec, vspec: VoxelizeSpec,
         vox = device_voxelize(vspec, batch["points"], batch["points_mask"])
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
-        preds = state.apply_fn(
+        preds, mutated = state.apply_fn(
             variables, vox["voxels"], vox["num_points"], vox["coordinates"],
-            vox["voxel_valid"], train=False)
-        return predict(spec, preds, batch["anchors"],
-                       batch.get("anchors_mask"))
+            vox["voxel_valid"], train=False, mutable=["intermediates"])
+        det = predict(spec, preds, batch["anchors"],
+                      batch.get("anchors_mask"))
+        det["voxel_overflow"] = vox["voxel_overflow"]
+        det["stage_overflow"] = sum_stage_overflow(
+            mutated.get("intermediates", {}))
+        return det
 
     return eval_step

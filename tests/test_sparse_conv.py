@@ -94,7 +94,7 @@ class TestSparseConvDown:
         c, f, v, k = make_active_set(rng, grid, 50, 64, cin)
         K = int(np.prod(kernel))
         w = rng.normal(0, 0.3, (K, cin, cout)).astype(np.float32)
-        out, oc, ok, ov, og = sp.sparse_conv3d(
+        out, oc, ok, ov, og, nu = sp.sparse_conv3d(
             f, c, k, v, grid, jnp.asarray(w), kernel, stride, padding,
             out_cap=128)
         dense = dense_from_sparse(c, f, v, grid)
@@ -116,7 +116,7 @@ class TestSparseConvDown:
         grid = (4, 8, 8)
         c, f, v, k = make_active_set(rng, grid, 60, 64, 2)
         w = rng.normal(0, 0.3, (27, 2, 2)).astype(np.float32)
-        out, oc, ok, ov, og = sp.sparse_conv3d(
+        out, oc, ok, ov, og, nu = sp.sparse_conv3d(
             f, c, k, v, grid, jnp.asarray(w), (3, 3, 3), (2, 2, 2), (1, 1, 1),
             out_cap=8)
         assert int(np.asarray(ov).sum()) == 8  # capped deterministically
