@@ -1,0 +1,223 @@
+"""Tracking training + MOT evaluation CLI.
+
+The `train_2st_spatio.py:66-138` equivalent (validate → validate_seq →
+write_kitti_result → evaluate_tracking), rebuilt TPU-first: one jitted
+`SequenceTrackNet` forward scores a whole padded [T, D] sequence window
+(det/link/new/end logits), the host runs the Hungarian solver + id
+management per frame pair, and CLEAR-MOT metrics come from
+`utils.mot_metrics` instead of the external kitti_devkit.
+
+Usage:
+  python -m second_tpu.train.run_tracking train --model_dir /tmp/tr
+  python -m second_tpu.train.run_tracking evaluate --model_dir /tmp/tr
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from ..core import box_np
+from ..data.tracking import (KittiTrackingDataset, SyntheticTrackingDataset,
+                             TrackingPrep, TrackingPrepConfig,
+                             write_kitti_tracking_result)
+from ..models.tracking import SequenceTrackNet, Tracker
+from ..models.tracking_train import generate_gt, tracking_loss
+from ..utils.assignment import solve_frame_pair
+from ..utils.mot_metrics import MOTAccumulator
+
+
+class TrackingTrainer:
+    """Trains the affinity net on (synthetic or KITTI) tracking sequences
+    and evaluates CLEAR-MOT end-to-end."""
+
+    def __init__(self, model_dir, *, data_root: Optional[str] = None,
+                 num_frames: int = 4, max_dets: int = 16,
+                 feature_dim: int = 128, lr: float = 1e-3, seed: int = 0,
+                 dataset_size: int = 64):
+        self.model_dir = Path(model_dir)
+        os.makedirs(self.model_dir, exist_ok=True)
+        if data_root:
+            self.dataset = KittiTrackingDataset(data_root)
+        else:
+            self.dataset = SyntheticTrackingDataset(
+                size=dataset_size, seed=seed, num_frames=num_frames,
+                num_cars=(3, min(8, max_dets - 2)), num_ground=2000)
+        self.prep = TrackingPrep(TrackingPrepConfig(max_dets=max_dets))
+        self.net = SequenceTrackNet(feature_dim=feature_dim)
+        self._rng = np.random.default_rng(seed)
+
+        sample = self._prep_item(0)
+        self.params = self.net.init(
+            jax.random.PRNGKey(seed), sample["crops"], sample["points"],
+            sample["pmask"], train=True)["params"]
+        self.tx = optax.adam(lr)
+        self.opt_state = self.tx.init(self.params)
+
+        def loss_fn(params, batch):
+            out = self.net.apply({"params": params}, batch["crops"],
+                                 batch["points"], batch["pmask"], train=True)
+            gt = generate_gt(batch["det_cls"], batch["det_id"],
+                             batch["det_valid"])
+            losses = tracking_loss(
+                out["link_logits"], out["end_logits"], out["new_logits"],
+                out["det_logits"], gt, batch["det_cls"], batch["det_valid"])
+            return losses["loss"], losses
+
+        def train_step(params, opt_state, batch):
+            (_, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, losses
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._forward = jax.jit(
+            lambda params, c, p, m: self.net.apply(
+                {"params": params}, c, p, m, train=False))
+
+    # -- data -------------------------------------------------------------
+    def _sequence(self, idx: int):
+        item = self.dataset[idx % len(self.dataset)]
+        if not isinstance(item, list):          # KittiTrackingSequence
+            item = [item[i] for i in range(len(item))]
+        return item
+
+    def _prep_item(self, idx: int) -> Dict[str, jnp.ndarray]:
+        frames = self._sequence(idx)
+        arrays = self.prep(frames, self._rng)
+        return {k: jnp.asarray(v) for k, v in arrays.items()}
+
+    # -- training ---------------------------------------------------------
+    def train(self, steps: int = 200, log_every: int = 20) -> Dict:
+        log_path = self.model_dir / "log_tracking.json"
+        history = []
+        t0 = time.time()
+        for step in range(steps):
+            batch = self._prep_item(step)
+            self.params, self.opt_state, losses = self._train_step(
+                self.params, self.opt_state, batch)
+            if step % log_every == 0 or step == steps - 1:
+                rec = {"step": step,
+                       **{k: float(v) for k, v in losses.items()},
+                       "elapsed_s": round(time.time() - t0, 2)}
+                history.append(rec)
+                print(json.dumps(rec))
+        self.save()
+        log_path.write_text(json.dumps(history, indent=1))
+        return {"first_loss": history[0]["loss"],
+                "last_loss": history[-1]["loss"]}
+
+    def save(self):
+        path = self.model_dir / "tracknet.msgpack"
+        path.write_bytes(serialization.to_bytes(self.params))
+
+    def restore(self):
+        path = self.model_dir / "tracknet.msgpack"
+        if path.exists():
+            self.params = serialization.from_bytes(
+                self.params, path.read_bytes())
+            return True
+        return False
+
+    # -- evaluation -------------------------------------------------------
+    def evaluate(self, num_sequences: Optional[int] = None,
+                 result_dir: Optional[str] = None,
+                 det_score_threshold: float = 0.0) -> Dict:
+        """Run tracking over held-out sequences: jitted affinity forward →
+        per-pair Hungarian assignment → Tracker ids → CLEAR-MOT, plus
+        KITTI-format result files."""
+        n = num_sequences or min(len(self.dataset), 8)
+        acc = MOTAccumulator()
+        result_dir = Path(result_dir or (self.model_dir / "tracking_results"))
+        for s in range(n):
+            frames = self._sequence(s)
+            arrays = self.prep(frames, np.random.default_rng(10_000 + s))
+            out = self._forward(self.params, jnp.asarray(arrays["crops"]),
+                                jnp.asarray(arrays["points"]),
+                                jnp.asarray(arrays["pmask"]))
+            link = np.asarray(out["link_logits"])
+            end = np.asarray(out["end_logits"])
+            new = np.asarray(out["new_logits"])
+            det_logit = np.asarray(out["det_logits"])
+            valid = arrays["det_valid"]
+            # detection gate: sigmoid(det) over threshold
+            keep = valid & (det_logit >= det_score_threshold)
+
+            tracker = Tracker()
+            frames_id, frames_det = [], []
+            prev_keep = None
+            for t in range(len(frames)):
+                kt = np.flatnonzero(keep[t])
+                if prev_keep is None:
+                    ids = tracker.step(np.zeros((0, 2), np.int64), len(kt))
+                else:
+                    sub = link[t - 1][np.ix_(prev_keep, kt)]
+                    matches = solve_frame_pair(
+                        sub, end[t - 1][prev_keep], new[t - 1][kt])
+                    ids = tracker.step(matches, len(kt))
+                boxes = arrays["det_boxes"][t][kt]
+                bev = box_np.center_to_minmax_2d(boxes[:, :2], boxes[:, 3:5])
+                gt_boxes = frames[t]["gt_boxes"]
+                gt_bev = box_np.center_to_minmax_2d(
+                    gt_boxes[:, :2], gt_boxes[:, 3:5]) if len(gt_boxes) \
+                    else np.zeros((0, 4))
+                acc.update(list(frames[t]["track_ids"]), gt_bev,
+                           list(ids), bev)
+                frames_id.append(ids)
+                frames_det.append({
+                    "frame_idx": frames[t].get("frame_idx", t),
+                    "location": boxes[:, :3],
+                    "dimensions": boxes[:, 3:6],
+                    "rotation_y": boxes[:, 6],
+                    "bbox": bev,
+                    "score": arrays["det_scores"][t][kt],
+                    "name": ["Car"] * len(kt),
+                })
+                prev_keep = kt
+            write_kitti_tracking_result(
+                result_dir, f"{s:04d}", frames_id, frames_det)
+        summary = {k: float(v) for k, v in acc.summary().items()}
+        print(json.dumps(summary))
+        (self.model_dir / "mot_summary.json").write_text(
+            json.dumps(summary, indent=1))
+        return summary
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("action", choices=["train", "evaluate"])
+    parser.add_argument("--model_dir", required=True)
+    parser.add_argument("--data_root", default=None,
+                        help="KITTI tracking split root; synthetic if unset")
+    parser.add_argument("--steps", type=int, default=200)
+    parser.add_argument("--num_frames", type=int, default=4)
+    parser.add_argument("--max_dets", type=int, default=16)
+    parser.add_argument("--feature_dim", type=int, default=128)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--num_sequences", type=int, default=None)
+    args = parser.parse_args()
+    trainer = TrackingTrainer(
+        args.model_dir, data_root=args.data_root,
+        num_frames=args.num_frames, max_dets=args.max_dets,
+        feature_dim=args.feature_dim, lr=args.lr)
+    if args.action == "train":
+        trainer.restore()
+        trainer.train(args.steps)
+    else:
+        if not trainer.restore():
+            print("warning: no checkpoint found, evaluating untrained net")
+        trainer.evaluate(args.num_sequences)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,291 @@
+"""Tests: tracking training losses, gt association matrices, id management,
+KITTI tracking reader/writer, and the end-to-end MOT loop."""
+
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from second_tpu.models.tracking import (MemoryTracker, SequenceStitcher,
+                                        SequenceTrackNet, TrackNet)
+from second_tpu.models.tracking_train import (generate_gt, match_dets_to_gt,
+                                              nms_vid, tracking_loss)
+
+
+class TestGenerateGT:
+    def test_link_new_end_semantics(self):
+        # 3 frames, 3 det slots; track 5 spans 0-1, track 7 spans 1-2,
+        # track 9 only frame 0 (ends immediately)
+        det_id = np.array([[5, 9, -1],
+                           [5, 7, -1],
+                           [7, -1, -1]])
+        det_cls = np.array([[1, 1, 0],
+                            [1, 1, 0],
+                            [1, 0, 0]])
+        det_valid = np.array([[1, 1, 0],
+                              [1, 1, 1],
+                              [1, 1, 0]], bool)
+        gt = generate_gt(det_cls, det_id, det_valid)
+        assert gt["gt_det"].tolist() == [[1, 1, 0], [1, 1, 0], [1, 0, 0]]
+        # links: (f0 d0)->(f1 d0) [id 5]; (f1 d1)->(f2 d0) [id 7]
+        assert gt["gt_link"][0, 0, 0] == 1 and gt["gt_link"][0].sum() == 1
+        assert gt["gt_link"][1, 1, 0] == 1 and gt["gt_link"][1].sum() == 1
+        # new: all f0 positives; f1 d1 (track 7 starts)
+        assert gt["gt_new"].tolist() == [[1, 1, 0], [0, 1, 0], [0, 0, 0]]
+        # end: f0 d1 (track 9 dies), f1 d0 (track 5 dies), all last-frame pos
+        assert gt["gt_end"].tolist() == [[0, 1, 0], [1, 0, 0], [1, 0, 0]]
+
+    def test_ignore_and_unmatched(self):
+        det_id = np.array([[3, -1], [3, -1]])
+        det_cls = np.array([[1, -1], [1, 0]])
+        det_valid = np.ones((2, 2), bool)
+        gt = generate_gt(det_cls, det_id, det_valid)
+        # ignore (-1 cls) and unmatched dets are never positive
+        assert gt["gt_det"].tolist() == [[1, 0], [1, 0]]
+        assert gt["gt_link"][0, 0, 0] == 1
+        # two id=-1 dets must NOT link
+        assert gt["gt_link"][0, 1, 1] == 0
+
+
+class TestTrackingLoss:
+    def _toy(self):
+        det_id = np.array([[1, 2], [1, 2]])
+        det_cls = np.ones((2, 2), np.int64)
+        det_valid = np.ones((2, 2), bool)
+        gt = generate_gt(det_cls, det_id, det_valid)
+        return gt, det_cls, det_valid
+
+    def test_correct_logits_give_low_loss(self):
+        gt, det_cls, det_valid = self._toy()
+        hi = 8.0
+        link = jnp.array([[[hi, -hi], [-hi, hi]]])
+        end = jnp.full((1, 2), -hi)
+        new = jnp.full((1, 2), -hi)
+        det = jnp.full((2, 2), hi)
+        good = tracking_loss(link, end, new, det, gt, det_cls, det_valid)
+        bad = tracking_loss(-link, end, new, -det, gt, det_cls, det_valid)
+        assert float(good["loss"]) < 0.01
+        assert float(bad["loss"]) > 1.0
+
+    def test_end_slot_supervised(self):
+        # single track that ends at frame 0 (absent in frame 1)
+        det_id = np.array([[4, -1], [-1, -1]])
+        det_cls = np.array([[1, 0], [0, 0]])
+        det_valid = np.array([[1, 0], [1, 0]], bool)
+        gt = generate_gt(det_cls, det_id, det_valid)
+        assert gt["gt_end"][0, 0] == 1
+        hi = 8.0
+        link = jnp.full((1, 2, 2), -hi)
+        det = jnp.where(jnp.asarray(gt["gt_det"]) > 0, hi, -hi)
+        good = tracking_loss(link, jnp.full((1, 2), hi),
+                             jnp.full((1, 2), -hi), det, gt, det_cls,
+                             det_valid)
+        bad = tracking_loss(link, jnp.full((1, 2), -hi),
+                            jnp.full((1, 2), -hi), det, gt, det_cls,
+                            det_valid)
+        assert float(good["loss"]) < float(bad["loss"])
+
+    def test_jit_and_grad(self):
+        gt, det_cls, det_valid = self._toy()
+        def f(link):
+            return tracking_loss(link, jnp.zeros((1, 2)), jnp.zeros((1, 2)),
+                                 jnp.zeros((2, 2)), gt, det_cls,
+                                 det_valid)["loss"]
+        g = jax.jit(jax.grad(f))(jnp.zeros((1, 2, 2)))
+        assert np.all(np.isfinite(np.asarray(g)))
+        # gradient pushes gt-linked logit up
+        assert g[0, 0, 0] < 0
+
+
+class TestMatchDetsToGT:
+    def test_basic_matching(self):
+        gt = np.array([[0, 0, 10, 10], [20, 20, 30, 30.]])
+        det = np.array([[1, 1, 11, 11], [40, 40, 50, 50.],
+                        [19, 19, 29, 29]])
+        det_id, det_cls = match_dets_to_gt(
+            det, gt, gt_ids=[5, 9], gt_names=["Car", "Car"])
+        assert det_id.tolist() == [5, -1, 9]
+        assert det_cls.tolist() == [1, 0, 1]
+
+    def test_dontcare_and_other_class(self):
+        gt = np.array([[0, 0, 10, 10], [20, 20, 30, 30.]])
+        det = gt.copy()
+        det_id, det_cls = match_dets_to_gt(
+            det, gt, gt_ids=[1, 2], gt_names=["DontCare", "Pedestrian"])
+        assert det_cls.tolist() == [-1, 0]
+
+    def test_one_det_per_gt(self):
+        gt = np.array([[0, 0, 10, 10.]])
+        det = np.array([[0, 0, 10, 10.], [1, 1, 10, 10]])
+        det_id, _ = match_dets_to_gt(det, gt, gt_ids=[3],
+                                     gt_names=["Car"])
+        assert (det_id == 3).sum() == 1
+
+
+class TestNmsVid:
+    def test_threshold_and_suppression(self):
+        boxes = jnp.asarray(np.array([
+            [10, 10, -1.7, 1.6, 3.9, 1.56, 0.0],
+            [10.2, 10.1, -1.7, 1.6, 3.9, 1.56, 0.0],   # duplicate
+            [30, 30, -1.7, 1.6, 3.9, 1.56, 0.5],
+            [50, 50, -1.7, 1.6, 3.9, 1.56, 0.0],       # low score
+        ], np.float32))
+        logits = jnp.asarray([3.0, 2.0, 3.0, -5.0])
+        valid = jnp.ones(4, bool)
+        sel_boxes, sel_scores, keep = jax.jit(
+            lambda b, c, v: nms_vid(b, c, v, post_max_size=8))(
+                boxes, logits, valid)
+        kept = np.asarray(sel_boxes)[np.asarray(keep)]
+        assert len(kept) == 2
+        xs = sorted(kept[:, 0].tolist())
+        assert xs == [10.0, 30.0]
+
+
+class TestSequenceStitcher:
+    def _det(self, frame, locs):
+        locs = np.asarray(locs, np.float32).reshape(-1, 3)
+        return {"frame_idx": frame, "location": locs,
+                "bbox": np.concatenate([locs[:, :2], locs[:, :2] + 5], 1)}
+
+    def test_start_and_overlap(self):
+        st = SequenceStitcher()
+        d0 = self._det(0, [[0, 0, 0], [10, 0, 0]])
+        d1 = self._det(1, [[1, 0, 0], [11, 0, 0]])
+        st.update([np.array([0, 1]), np.array([0, 1])], [d0, d1], [0, 1])
+        # window 2 overlaps frame 1 with fresh window-local ids
+        d1b = self._det(1, [[1, 0, 0], [11, 0, 0]])
+        d2 = self._det(2, [[2, 0, 0], [12, 0, 0]])
+        out = st.update([np.array([7, 8]), np.array([7, 8])], [d1b, d2],
+                        [1, 2])
+        # id 7 pairs with stitched id 0, id 8 with 1
+        assert out[0].tolist() == [0, 1]
+        assert [d["frame_idx"] for d in st.frames_det] == [0, 1, 2]
+
+    def test_discontinuity_offsets(self):
+        st = SequenceStitcher()
+        st.update([np.array([0, 1])], [self._det(0, [[0, 0, 0], [9, 0, 0]])],
+                  [0])
+        out = st.update([np.array([0])], [self._det(5, [[4, 0, 0]])], [5])
+        assert out[0].tolist() == [2]     # offset past last_id=1
+
+    def test_overlap_new_id(self):
+        st = SequenceStitcher()
+        st.update([np.array([0])], [self._det(0, [[0, 0, 0]])], [0])
+        # overlap frame det does not match the stitched det → fresh id
+        d0b = self._det(0, [[50, 0, 0]])
+        d1 = self._det(1, [[51, 0, 0]])
+        out = st.update([np.array([3]), np.array([3])], [d0b, d1], [0, 1])
+        assert out[0].tolist() == [1]
+
+
+class TestMemoryTracker:
+    def test_feature_memory(self):
+        mt = MemoryTracker()
+        f0 = np.array([[1.0, 0], [0, 1.0]])
+        ids0 = mt.step(np.zeros((0, 2), np.int64), f0)
+        assert ids0.tolist() == [0, 1]
+        # det 0 links to active track idx 1; det 1 new
+        f1 = np.array([[0, 2.0], [3.0, 0]])
+        ids1 = mt.step(np.array([[1, 0]]), f1)
+        assert ids1[0] == 1 and ids1[1] == 2
+        assert np.allclose(mt.track_feats[1], f1[0])
+        assert len(mt.track_feats) == mt.last_id + 1
+
+
+class TestParamInterchange:
+    def test_pair_and_sequence_nets_share_params(self):
+        rng = np.random.default_rng(0)
+        crops = jnp.asarray(rng.normal(0, 1, (3, 4, 16, 16, 3)), jnp.float32)
+        pts = jnp.asarray(rng.normal(0, 1, (3, 4, 24, 3)), jnp.float32)
+        mask = jnp.ones((3, 4, 24), bool)
+        seq = SequenceTrackNet(feature_dim=32)
+        variables = seq.init(jax.random.PRNGKey(0), crops, pts, mask)
+        out_seq = seq.apply(variables, crops, pts, mask)
+        pair = TrackNet(feature_dim=32)
+        out_pair = pair.apply(variables, crops[0], pts[0], mask[0],
+                              crops[1], pts[1], mask[1])
+        np.testing.assert_allclose(out_seq["link_logits"][0],
+                                   out_pair["link_scores"], rtol=2e-5,
+                                   atol=1e-5)
+        np.testing.assert_allclose(out_seq["det_logits"][0],
+                                   out_pair["det_scores1"], rtol=2e-5,
+                                   atol=1e-5)
+
+
+class TestKittiTrackingIO:
+    def test_reader_and_writer_roundtrip(self, tmp_path):
+        from second_tpu.data.tracking import (KittiTrackingDataset,
+                                              parse_tracking_label,
+                                              write_kitti_tracking_result)
+        root = tmp_path / "training"
+        (root / "label_02").mkdir(parents=True)
+        (root / "calib").mkdir()
+        (root / "velodyne" / "0000").mkdir(parents=True)
+        label = "\n".join([
+            "0 1 Car 0 0 -1.5 100 150 200 250 1.5 1.6 3.9 2.0 1.5 10.0 0.1",
+            "0 2 Pedestrian 0 0 0.0 300 150 330 250 1.7 0.6 0.8 5.0 1.5 "
+            "12.0 0.2",
+            "1 1 Car 0 0 -1.4 105 150 205 250 1.5 1.6 3.9 2.2 1.5 10.5 0.1",
+        ])
+        (root / "label_02" / "0000.txt").write_text(label + "\n")
+        calib = "\n".join([
+            "P0: 700 0 600 0 0 700 180 0 0 0 1 0",
+            "P1: 700 0 600 0 0 700 180 0 0 0 1 0",
+            "P2: 700 0 600 44 0 700 180 0 0 0 1 0",
+            "P3: 700 0 600 0 0 700 180 0 0 0 1 0",
+            "R_rect 1 0 0 0 1 0 0 0 1",
+            "Tr_velo_cam 0 -1 0 0 0 0 -1 0 1 0 0 0",
+            "Tr_imu_velo 1 0 0 0 0 1 0 0 0 0 1 0",
+        ])
+        (root / "calib" / "0000.txt").write_text(calib + "\n")
+        pts = np.random.default_rng(0).normal(
+            0, 5, (100, 4)).astype(np.float32)
+        for f in range(2):
+            pts.tofile(root / "velodyne" / "0000" / f"{f:06d}.bin")
+
+        frames = parse_tracking_label(root / "label_02" / "0000.txt")
+        assert set(frames) == {0, 1}
+        assert frames[0]["track_ids"].tolist() == [1, 2]
+
+        ds = KittiTrackingDataset(root)
+        assert len(ds) == 1
+        seq = ds[0]
+        assert len(seq) == 2
+        f0 = seq[0]
+        assert f0["points"].shape == (100, 4)
+        assert f0["gt_boxes"].shape[1] == 7
+        # only Car kept (Pedestrian not in tracked classes)
+        assert f0["gt_names"].tolist() == ["Car"]
+        # camera → lidar: cam (x=2, z=10) → lidar x≈10
+        assert abs(f0["gt_boxes"][0, 0] - 10.0) < 0.5
+
+        path = write_kitti_tracking_result(
+            tmp_path / "res", "0000",
+            [np.array([1])],
+            [{"frame_idx": 0, "location": np.array([[2.0, 1.5, 10.0]]),
+              "dimensions": np.array([[3.9, 1.5, 1.6]]),
+              "rotation_y": np.array([0.1]),
+              "bbox": np.array([[100, 150, 200, 250.0]]),
+              "score": np.array([0.9]), "name": ["Car"]}])
+        line = open(path).read().strip().split(" ")
+        assert line[0] == "0" and line[1] == "1" and line[2] == "Car"
+        assert len(line) == 18
+
+
+class TestEndToEndTrackingTraining:
+    @pytest.mark.slow
+    def test_losses_descend_and_mot_eval(self, tmp_path):
+        from second_tpu.train.run_tracking import TrackingTrainer
+        trainer = TrackingTrainer(
+            tmp_path, num_frames=3, max_dets=10, feature_dim=32,
+            lr=2e-3, dataset_size=16)
+        res = trainer.train(steps=60, log_every=10)
+        assert res["last_loss"] < res["first_loss"]
+        summary = trainer.evaluate(num_sequences=2)
+        assert "mota" in summary and "motp" in summary
+        assert np.isfinite(summary["motp"]) or summary["num_matches"] == 0
+        # result files written in KITTI tracking format
+        files = list((tmp_path / "tracking_results" / "val").glob("*.txt"))
+        assert len(files) == 2
