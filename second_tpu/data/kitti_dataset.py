@@ -36,12 +36,13 @@ class KittiDataset:
     """Indexable dataset of raw (optionally augmented) KITTI scenes."""
 
     def __init__(self, info_path, root_path, training=True, input_cfg=None,
-                 num_point_features=4,
+                 num_point_features=4, load_image=False,
                  rng: Optional[np.random.Generator] = None):
         with open(info_path, "rb") as f:
             self._infos = pickle.load(f)
         self._root = pathlib.Path(root_path)
         self._training = training
+        self._load_image = load_image
         self._cfg = input_cfg
         self._nfeat = num_point_features
         self._rng = rng or np.random.default_rng()
@@ -78,6 +79,12 @@ class KittiDataset:
             "calib/P2": info["calib/P2"],
             "img_shape": info.get("img_shape"),
         }
+        if self._load_image and "img_path" in info:
+            img_file = self._root / info["img_path"]
+            if img_file.exists():
+                from PIL import Image
+                scene["image"] = (np.asarray(Image.open(img_file),
+                                             np.float32) / 255.0)
         if "annos" in info:
             gt_boxes, gt_names = annos_to_lidar_boxes(info["annos"], rect,
                                                       Trv2c)

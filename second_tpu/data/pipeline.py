@@ -31,6 +31,13 @@ class PrepConfig:
     anchor_area_threshold: float = -1.0
     voxel_size: tuple = (0.05, 0.05, 0.1)
     pc_range: tuple = (0.0, -40.0, -3.0, 70.4, 40.0, 1.0)
+    # camera-fusion inputs (reference `--use_fusion` example keys: the
+    # image plus per-point P3-pixel / BEV-cell projections the fused RPN
+    # scatters with, `rpn.py:753-1023` / `models/fusion.py`)
+    use_fusion: bool = False
+    image_shape: tuple = (384, 1248)     # fixed (H, W) canvas, padded
+    image_stride: int = 8                # P3 feature stride
+    out_stride: int = 8                  # BEV feature-map stride
 
 
 class ExamplePrep:
@@ -40,6 +47,7 @@ class ExamplePrep:
                  prep_cfg: PrepConfig):
         self._assigner = assigner
         self._prep = prep_cfg
+        self._bev_hw = tuple(feature_map_size[-2:])
         # anchor cache, like the reference's anchor_cache
         # (`second/core/inference.py:21,57`)
         self._anchors_dict = assigner.generate_anchors_dict(feature_map_size)
@@ -88,6 +96,8 @@ class ExamplePrep:
         if self._anchors_bv is not None:
             anchors_mask = self._compute_anchors_mask(scene["points"])
             example["anchors_mask"] = anchors_mask
+        if self._prep.use_fusion:
+            example.update(self._fusion_inputs(scene, padded, mask))
         if "p_points" in scene:   # temporal pairs (reference p_* keys)
             p_padded, p_mask = self.pad_points(scene["p_points"], rng)
             example["p_points"] = p_padded
@@ -118,12 +128,44 @@ class ExamplePrep:
             example["gt_valid"] = gt_valid
         return example
 
+    def _fusion_inputs(self, scene: Dict, padded, mask) -> Dict:
+        """Fixed-shape camera inputs: padded image + per-point projections
+        (`models/fusion.compute_image_projection`). Scenes without an
+        image/calib get an all-invalid projection, so the fused model still
+        runs (the image branch contributes zeros)."""
+        from ..models.fusion import compute_image_projection
+        cfg = self._prep
+        H, W = cfg.image_shape
+        image = np.zeros((H, W, 3), np.float32)
+        img = scene.get("image")
+        if img is not None:
+            h, w = min(H, img.shape[0]), min(W, img.shape[1])
+            image[:h, :w] = np.asarray(img, np.float32)[:h, :w]
+        rect = scene.get("calib/R0_rect")
+        Trv2c = scene.get("calib/Tr_velo_to_cam")
+        P2 = scene.get("calib/P2")
+        P = cfg.max_points
+        if rect is None or Trv2c is None or P2 is None:
+            pix = np.zeros((P, 2), np.int32)
+            bev = np.zeros((P, 2), np.int32)
+            valid = np.zeros((P,), bool)
+        else:
+            img_hw = (scene.get("img_shape") or (H, W))[:2] if \
+                img is None else img.shape[:2]
+            pix, bev, valid = compute_image_projection(
+                padded, mask, rect, Trv2c, P2, img_hw,
+                cfg.pc_range, cfg.voxel_size, cfg.out_stride, self._bev_hw,
+                image_stride=cfg.image_stride)
+        return {"image": image, "proj_pix": pix, "proj_bev": bev,
+                "proj_valid": valid}
+
     def collate(self, examples: List[Dict]) -> Dict:
         """Stack examples + broadcast the anchor cache."""
         batch = {}
         for key in ("points", "points_mask", "p_points", "p_points_mask",
                     "labels", "reg_targets", "gt_boxes_padded", "gt_valid",
-                    "anchors_mask"):
+                    "anchors_mask", "image", "proj_pix", "proj_bev",
+                    "proj_valid"):
             if key in examples[0]:
                 batch[key] = np.stack([e[key] for e in examples])
         batch["anchors"] = np.broadcast_to(

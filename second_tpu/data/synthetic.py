@@ -58,12 +58,55 @@ def sample_scene(rng: np.random.Generator, *,
     return points, gt_boxes, gt_names
 
 
-class SyntheticDataset:
-    """Synthetic drop-in for KittiDataset: indexable, returns raw scenes."""
+def synthetic_calib(image_shape=(192, 624)):
+    """A KITTI-like synthetic camera: identity rectification, the standard
+    lidar→camera axis permutation, and a centered pinhole P2."""
+    rect = np.eye(4)
+    velo2cam = np.array([[0, -1, 0, 0], [0, 0, -1, 0],
+                         [1, 0, 0, 0], [0, 0, 0, 1]], np.float64)
+    f = image_shape[1] * 0.5
+    P2 = np.array([[f, 0, image_shape[1] / 2, 0],
+                   [0, f, image_shape[0] / 2, 0],
+                   [0, 0, 1, 0], [0, 0, 0, 1]], np.float64)
+    return rect, velo2cam, P2
 
-    def __init__(self, size=256, seed=0, **scene_kwargs):
+
+def render_synthetic_image(points, image_shape, rect, velo2cam, P2):
+    """Cheap camera image: splat point intensity / inverse depth at each
+    projected pixel — gives the fusion image branch real structure that is
+    geometrically consistent with the cloud."""
+    from ..core import box_np
+    cam = box_np.lidar_to_camera(points[:, :3], rect, velo2cam)
+    uv = box_np.project_to_image(cam, P2)
+    H, W = image_shape
+    m = ((cam[:, 2] > 0.5) & (uv[:, 0] >= 0) & (uv[:, 0] < W) &
+         (uv[:, 1] >= 0) & (uv[:, 1] < H))
+    img = np.zeros((H, W, 3), np.float32)
+    r = uv[m, 1].astype(np.int32)
+    c = uv[m, 0].astype(np.int32)
+    inten = points[m, 3] if points.shape[1] > 3 else np.ones(m.sum())
+    np.maximum.at(img[:, :, 0], (r, c), inten.astype(np.float32))
+    np.maximum.at(img[:, :, 1], (r, c),
+                  (1.0 / np.maximum(cam[m, 2], 1.0)).astype(np.float32))
+    np.maximum.at(img[:, :, 2], (r, c),
+                  np.clip(cam[m, 1] + 1.5, 0, 3).astype(np.float32) / 3)
+    return img
+
+
+class SyntheticDataset:
+    """Synthetic drop-in for KittiDataset: indexable, returns raw scenes.
+
+    With `with_image=True`, scenes also carry a synthetic camera image and
+    flat `calib/*` keys, matching the fusion contract of
+    :class:`..data.pipeline.ExamplePrep`.
+    """
+
+    def __init__(self, size=256, seed=0, with_image=False,
+                 image_shape=(192, 624), **scene_kwargs):
         self._size = size
         self._seed = seed
+        self._with_image = with_image
+        self._image_shape = tuple(image_shape)
         self._scene_kwargs = scene_kwargs
 
     def __len__(self):
@@ -72,13 +115,22 @@ class SyntheticDataset:
     def __getitem__(self, idx):
         rng = np.random.default_rng(self._seed * 100003 + idx)
         points, gt_boxes, gt_names = sample_scene(rng, **self._scene_kwargs)
-        return {
+        scene = {
             "points": points,
             "gt_boxes": gt_boxes,
             "gt_names": gt_names,
             "image_idx": idx,
             "calib": None,
         }
+        if self._with_image:
+            rect, velo2cam, P2 = synthetic_calib(self._image_shape)
+            scene["image"] = render_synthetic_image(
+                points, self._image_shape, rect, velo2cam, P2)
+            scene["img_shape"] = self._image_shape
+            scene["calib/R0_rect"] = rect
+            scene["calib/Tr_velo_to_cam"] = velo2cam
+            scene["calib/P2"] = P2
+        return scene
 
 
 def sample_sequence(rng: np.random.Generator, num_frames: int = 4, *,

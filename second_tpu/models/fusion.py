@@ -192,6 +192,24 @@ class FusionVoxelNet(nn.Module):
         return rpn(bev, image, proj_pix, proj_bev, proj_valid, train)
 
 
+def build_fusion_voxelnet(cfg):
+    """Config → (FusionVoxelNet module, spec, info, assigner, coder) — the
+    one-stage camera-fusion analog of `build_voxelnet` (reference
+    `train.py:91-151` builds this via the `--use_fusion` flag with
+    `RPN_FUSION`, `rpn.py:753-1023`)."""
+    from .build import build_voxelnet
+    base, spec, info, assigner, coder = build_voxelnet(cfg)
+    rpn_kwargs = dict(base.rpn_kwargs)
+    rpn_kwargs.pop("dtype", None)   # FusionRPN runs an fp32 trunk for now
+    module = FusionVoxelNet(
+        vfe_class_name=base.vfe_class_name,
+        vfe_kwargs=base.vfe_kwargs,
+        middle_class_name=base.middle_class_name,
+        middle_kwargs=base.middle_kwargs,
+        rpn_kwargs=tuple(sorted(rpn_kwargs.items())))
+    return module, spec, info, assigner, coder
+
+
 def compute_image_projection(points, points_mask, rect, Trv2c, P2,
                              image_shape, pc_range, voxel_size, out_stride,
                              bev_hw, image_stride: int = 8):
@@ -201,7 +219,11 @@ def compute_image_projection(points, points_mask, rect, Trv2c, P2,
     from ..core import box_np
     xyz = points[:, :3]
     cam = box_np.lidar_to_camera(xyz, rect, Trv2c)
-    uv = box_np.project_to_image(cam, P2)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        uv = box_np.project_to_image(cam, P2)
+    # padded points sit at the origin → cam depth 0 → NaN pixels; they are
+    # excluded by `valid` below, but must not poison the int cast
+    uv = np.nan_to_num(uv, nan=-1.0, posinf=-1.0, neginf=-1.0)
     pix = np.stack([uv[:, 1], uv[:, 0]], 1) / image_stride   # (row, col)
     bev_r = (xyz[:, 1] - pc_range[1]) / (voxel_size[1] * out_stride)
     bev_c = (xyz[:, 0] - pc_range[0]) / (voxel_size[0] * out_stride)

@@ -63,8 +63,10 @@ class Trainer:
     def __init__(self, config_path, model_dir, synthetic=False,
                  dataset_size=256, max_points=20000, total_steps=None,
                  model_type="one_stage"):
-        assert model_type in ("one_stage", "two_stage", "temporal")
+        assert model_type in ("one_stage", "two_stage", "temporal",
+                              "fusion", "fusion_two_stage")
         self.model_type = model_type
+        self.use_fusion = model_type in ("fusion", "fusion_two_stage")
         self.cfg = load_pipeline_config(config_path)
         self.model_dir = pathlib.Path(model_dir)
         self.model_dir.mkdir(parents=True, exist_ok=True)
@@ -80,6 +82,15 @@ class Trainer:
             from ..models.detector_two_stage import build_two_stage_voxelnet
             (self.module, self.spec, self.info, self.assigner,
              self.coder) = build_two_stage_voxelnet(self.cfg.model)
+        elif model_type == "fusion":
+            from ..models.fusion import build_fusion_voxelnet
+            (self.module, self.spec, self.info, self.assigner,
+             self.coder) = build_fusion_voxelnet(self.cfg.model)
+        elif model_type == "fusion_two_stage":
+            from ..models.detector_fusion_two_stage import \
+                build_fusion_two_stage_voxelnet
+            (self.module, self.spec, self.info, self.assigner,
+             self.coder) = build_fusion_two_stage_voxelnet(self.cfg.model)
         else:
             from ..models.temporal import build_temporal_voxelnet
             (self.module, self.spec, self.info, self.assigner,
@@ -94,6 +105,10 @@ class Trainer:
             self.cfg.eval_input_reader.max_number_of_voxels
             or self.cfg.train_input_reader.max_number_of_voxels)
         vg = self.cfg.model.voxel_generator
+        self.image_shape = (192, 624) if synthetic else (384, 1248)
+        fusion_kwargs = dict(use_fusion=self.use_fusion,
+                             image_shape=self.image_shape,
+                             out_stride=self.info.out_size_factor)
         self.prep = ExamplePrep(
             self.assigner, self.info.feature_map_size,
             PrepConfig(max_points=max_points,
@@ -102,7 +117,8 @@ class Trainer:
                        anchor_area_threshold=(
                            self.cfg.train_input_reader.anchor_area_threshold),
                        voxel_size=tuple(vg.voxel_size),
-                       pc_range=tuple(vg.point_cloud_range)))
+                       pc_range=tuple(vg.point_cloud_range),
+                       **fusion_kwargs))
         # eval-time prep: no target assignment (the reference's
         # prep_pointcloud with training=False), anchors_mask still applied
         self.eval_prep = ExamplePrep(
@@ -111,7 +127,8 @@ class Trainer:
                        anchor_area_threshold=(
                            self.cfg.eval_input_reader.anchor_area_threshold),
                        voxel_size=tuple(vg.voxel_size),
-                       pc_range=tuple(vg.point_cloud_range)))
+                       pc_range=tuple(vg.point_cloud_range),
+                       **fusion_kwargs))
         self.synthetic = synthetic
         if synthetic:
             pc_range = tuple(self.cfg.model.voxel_generator.point_cloud_range)
@@ -122,21 +139,25 @@ class Trainer:
                 self.eval_ds = SyntheticPairDataset(max(32, dataset_size // 8),
                                                     seed=2, pc_range=pc_range)
             else:
-                self.train_ds = SyntheticDataset(dataset_size, seed=1,
-                                                 pc_range=pc_range)
-                self.eval_ds = SyntheticDataset(max(32, dataset_size // 8),
-                                                seed=2, pc_range=pc_range)
+                self.train_ds = SyntheticDataset(
+                    dataset_size, seed=1, pc_range=pc_range,
+                    with_image=self.use_fusion,
+                    image_shape=self.image_shape)
+                self.eval_ds = SyntheticDataset(
+                    max(32, dataset_size // 8), seed=2, pc_range=pc_range,
+                    with_image=self.use_fusion,
+                    image_shape=self.image_shape)
         else:
             from ..data.kitti_dataset import KittiDataset
             self.train_ds = KittiDataset(
                 self.cfg.train_input_reader.kitti_info_path,
                 self.cfg.train_input_reader.kitti_root_path,
-                training=True,
+                training=True, load_image=self.use_fusion,
                 input_cfg=self.cfg.train_input_reader)
             self.eval_ds = KittiDataset(
                 self.cfg.eval_input_reader.kitti_info_path,
                 self.cfg.eval_input_reader.kitti_root_path,
-                training=False,
+                training=False, load_image=self.use_fusion,
                 input_cfg=self.cfg.eval_input_reader)
 
         self.total_steps = total_steps or self.cfg.train_config.steps
@@ -149,6 +170,14 @@ class Trainer:
         elif model_type == "two_stage":
             from .steps_multistage import make_two_stage_steps
             self.train_step, self.eval_step = make_two_stage_steps(
+                self.spec, self.vspec, self.eval_vspec)
+        elif model_type == "fusion":
+            from .steps_multistage import make_fusion_steps
+            self.train_step, self.eval_step = make_fusion_steps(
+                self.spec, self.vspec, self.eval_vspec)
+        elif model_type == "fusion_two_stage":
+            from .steps_multistage import make_fusion_two_stage_steps
+            self.train_step, self.eval_step = make_fusion_two_stage_steps(
                 self.spec, self.vspec, self.eval_vspec)
         else:
             from .steps_multistage import make_temporal_steps
@@ -183,6 +212,11 @@ class Trainer:
             state = create_two_stage_state(self.module, self.tx,
                                            jax.random.PRNGKey(0), self.vspec,
                                            batch)
+        elif self.use_fusion:
+            from .steps_multistage import create_fusion_state
+            state = create_fusion_state(
+                self.module, self.tx, jax.random.PRNGKey(0), self.vspec,
+                batch, two_stage=self.model_type == "fusion_two_stage")
         else:
             from .steps_multistage import create_temporal_state
             state = create_temporal_state(self.module, self.tx,
@@ -330,7 +364,8 @@ def main():
     parser.add_argument("--max_points", type=int, default=20000)
     parser.add_argument("--max_frames", type=int, default=None)
     parser.add_argument("--model_type", default="one_stage",
-                        choices=["one_stage", "two_stage", "temporal"])
+                        choices=["one_stage", "two_stage", "temporal",
+                                 "fusion", "fusion_two_stage"])
     args = parser.parse_args()
     trainer = Trainer(args.config_path, args.model_dir, args.synthetic,
                       args.dataset_size, args.max_points,

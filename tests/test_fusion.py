@@ -134,3 +134,92 @@ class TestFusionTwoStage:
         assert np.isfinite(float(loss["loss"]))
         det = predict_fusion_two_stage(spec, preds, jb["anchors"])
         assert det["boxes"].shape[-1] == 7
+
+
+class TestFusionPrep:
+    def test_prep_emits_fusion_keys(self):
+        from second_tpu.data import ExamplePrep, PrepConfig, SyntheticDataset
+        from second_tpu.models import build_voxelnet
+        from second_tpu.testing import tiny_pipeline_config
+
+        cfg = tiny_pipeline_config()
+        _, _, info, assigner, _ = build_voxelnet(cfg.model)
+        vg = cfg.model.voxel_generator
+        img_shape = (48, 96)
+        prep = ExamplePrep(
+            assigner, info.feature_map_size,
+            PrepConfig(max_points=2000, training=True, use_fusion=True,
+                       image_shape=img_shape,
+                       out_stride=info.out_size_factor,
+                       voxel_size=tuple(vg.voxel_size),
+                       pc_range=tuple(vg.point_cloud_range)))
+        ds = SyntheticDataset(
+            2, seed=0, with_image=True, image_shape=img_shape,
+            pc_range=tuple(vg.point_cloud_range), num_cars=(2, 4),
+            num_ground=500)
+        rng = np.random.default_rng(0)
+        batch = prep.collate([prep(ds[i], rng) for i in range(2)])
+        P = 2000
+        assert batch["image"].shape == (2, 48, 96, 3)
+        assert batch["proj_pix"].shape == (2, P, 2)
+        assert batch["proj_bev"].shape == (2, P, 2)
+        assert batch["proj_valid"].shape == (2, P)
+        assert batch["proj_valid"].any(), "no point projected into the image"
+        # valid projections land inside the P3 map and the BEV map
+        fm_h, fm_w = info.feature_map_size[-2:]
+        v = batch["proj_valid"]
+        assert (batch["proj_bev"][v][:, 0] < fm_h).all()
+        assert (batch["proj_bev"][v][:, 1] < fm_w).all()
+        assert np.isfinite(batch["image"]).all()
+        # scenes without image/calib still produce the keys (all-invalid)
+        bare = prep({"points": ds[0]["points"],
+                     "gt_boxes": ds[0]["gt_boxes"],
+                     "gt_names": ds[0]["gt_names"], "image_idx": 0}, rng)
+        assert not bare["proj_valid"].any()
+
+
+class TestFusionEndToEnd:
+    @pytest.mark.slow
+    def test_fusion_train_descends_and_evals(self):
+        """make_fusion_steps on the tiny config: loss descends on one batch,
+        eval_step produces detections (reference `train.py --use_fusion`)."""
+        import optax
+        from second_tpu.data import ExamplePrep, PrepConfig, SyntheticDataset
+        from second_tpu.models.fusion import build_fusion_voxelnet
+        from second_tpu.testing import tiny_pipeline_config
+        from second_tpu.train.state import VoxelizeSpec
+        from second_tpu.train.steps_multistage import (create_fusion_state,
+                                                       make_fusion_steps)
+
+        cfg = tiny_pipeline_config()
+        module, spec, info, assigner, _ = build_fusion_voxelnet(cfg.model)
+        vg = cfg.model.voxel_generator
+        vspec = VoxelizeSpec.from_config(vg, 512)
+        img_shape = (48, 96)
+        prep = ExamplePrep(
+            assigner, info.feature_map_size,
+            PrepConfig(max_points=2000, training=True, use_fusion=True,
+                       image_shape=img_shape,
+                       out_stride=info.out_size_factor,
+                       voxel_size=tuple(vg.voxel_size),
+                       pc_range=tuple(vg.point_cloud_range)))
+        ds = SyntheticDataset(
+            2, seed=0, with_image=True, image_shape=img_shape,
+            pc_range=tuple(vg.point_cloud_range), num_cars=(2, 4),
+            num_ground=500)
+        rng = np.random.default_rng(0)
+        batch = {k: jnp.asarray(v) for k, v in
+                 prep.collate([prep(ds[i], rng) for i in range(2)]).items()
+                 if k != "image_idx"}
+        train_step, eval_step = make_fusion_steps(spec, vspec)
+        state = create_fusion_state(module, optax.adam(2e-3),
+                                    jax.random.PRNGKey(0), vspec, batch)
+        losses = []
+        for _ in range(8):
+            state, metrics = train_step(state, dict(batch))
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+        det = eval_step(state, dict(batch))
+        assert det["boxes"].shape[-1] == 7
+        assert det["valid"].dtype == bool
