@@ -301,6 +301,8 @@ def detections_to_kitti_annos(det, calib_rect, calib_velo2cam, calib_P2,
     scores = np.asarray(det["scores"])
     labels = np.asarray(det["labels"])
     valid = np.asarray(det["valid"]).astype(bool)
+    if center_limit_range is not None and len(center_limit_range) == 0:
+        center_limit_range = None   # configs may leave the field empty
     anno = get_start_result_anno()
     for box, score, label, ok in zip(boxes, scores, labels, valid):
         if not ok:

@@ -59,15 +59,51 @@ def _synthetic_lidar_to_camera_annos(boxes, names=None, scores=None):
     return anno
 
 
+def apply_config_patches(cfg, patches):
+    """Apply `--patchs` runtime config edits (reference `train.py:109-121`
+    exec's `config.<patch>`; here the path is navigated and the value
+    literal-eval'd — same expressiveness for the assignment form, no exec).
+
+    Each patch is `dotted.path=python_literal`, e.g.
+    `train_config.steps=100` or
+    `model.target_assigner.anchor_generators[0].sizes=[1.6, 3.9, 1.56]`.
+    """
+    import ast
+    import re
+    for patch in patches or []:
+        path, sep, value = patch.partition("=")
+        if not sep:
+            raise ValueError(f"patch {patch!r} must look like path=value")
+        obj = cfg
+        parts = path.strip().split(".")
+        for i, part in enumerate(parts):
+            m = re.fullmatch(r"(\w+)((?:\[\d+\])*)", part)
+            if not m:
+                raise ValueError(f"bad patch path component {part!r}")
+            name, idxs = m.group(1), re.findall(r"\[(\d+)\]", m.group(2))
+            last = i == len(parts) - 1
+            if last and not idxs:
+                setattr(obj, name, ast.literal_eval(value.strip()))
+            else:
+                obj = getattr(obj, name)
+                for j, idx in enumerate(idxs):
+                    if last and j == len(idxs) - 1:
+                        obj[int(idx)] = ast.literal_eval(value.strip())
+                    else:
+                        obj = obj[int(idx)]
+    return cfg
+
+
 class Trainer:
     def __init__(self, config_path, model_dir, synthetic=False,
                  dataset_size=256, max_points=20000, total_steps=None,
-                 model_type="one_stage"):
+                 model_type="one_stage", patches=None):
         assert model_type in ("one_stage", "two_stage", "temporal",
                               "fusion", "fusion_two_stage")
         self.model_type = model_type
         self.use_fusion = model_type in ("fusion", "fusion_two_stage")
-        self.cfg = load_pipeline_config(config_path)
+        self.cfg = apply_config_patches(load_pipeline_config(config_path),
+                                        patches)
         self.model_dir = pathlib.Path(model_dir)
         self.model_dir.mkdir(parents=True, exist_ok=True)
         # keep the resolved config beside the run (reference train.py:114-122)
@@ -366,10 +402,15 @@ def main():
     parser.add_argument("--model_type", default="one_stage",
                         choices=["one_stage", "two_stage", "temporal",
                                  "fusion", "fusion_two_stage"])
+    parser.add_argument("--patchs", action="append", default=None,
+                        metavar="PATH=VALUE",
+                        help="runtime config patch, repeatable "
+                             "(e.g. --patchs train_config.steps=100)")
     args = parser.parse_args()
     trainer = Trainer(args.config_path, args.model_dir, args.synthetic,
                       args.dataset_size, args.max_points,
-                      total_steps=args.steps, model_type=args.model_type)
+                      total_steps=args.steps, model_type=args.model_type,
+                      patches=args.patchs)
     if args.command == "train":
         trainer.train(args.steps)
     else:

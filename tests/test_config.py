@@ -134,3 +134,28 @@ def test_reference_config_builds_model():
                          jnp.asarray(num_points), jnp.asarray(coords),
                          jnp.asarray(valid), train=False)
     assert preds["box_preds"].shape == (1, 200, 176, 14)
+
+
+class TestConfigPatches:
+    def test_apply_config_patches(self):
+        from second_tpu.testing import tiny_pipeline_config
+        from second_tpu.train.run import apply_config_patches
+        cfg = tiny_pipeline_config()
+        apply_config_patches(cfg, [
+            "train_config.steps=123",
+            "train_input_reader.batch_size=4",
+            "model.target_assigner.anchor_generators[0].sizes=[1., 2., 3.]",
+            "model.voxel_generator.point_cloud_range[0]=-1.5",
+        ])
+        assert cfg.train_config.steps == 123
+        assert cfg.train_input_reader.batch_size == 4
+        assert cfg.model.target_assigner.anchor_generators[0].sizes == \
+            [1.0, 2.0, 3.0]
+        assert cfg.model.voxel_generator.point_cloud_range[0] == -1.5
+
+    def test_bad_patch_raises(self):
+        from second_tpu.testing import tiny_pipeline_config
+        from second_tpu.train.run import apply_config_patches
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            apply_config_patches(tiny_pipeline_config(), ["no_equals_sign"])

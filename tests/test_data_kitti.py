@@ -230,3 +230,40 @@ class TestCreateDataAndDataset:
                                   fake_kitti, training=False)
         scene_e = ds_eval[0]
         assert "annos" in scene_e
+
+    @pytest.mark.slow
+    def test_create_train_evaluate_real_path(self, fake_kitti, tmp_path):
+        """The full non-synthetic chain on the fabricated KITTI tree:
+        create_data → Trainer(train) → Trainer(evaluate) with official AP
+        (reference `create_data.py` → `train.py train/evaluate`)."""
+        from second_tpu.data import kitti_dataset as kd
+        from second_tpu.testing import TINY_PIPELINE
+        from second_tpu.train.run import Trainer
+
+        (fake_kitti / "ImageSets" / "val.txt").write_text(
+            "000000\n000001\n")
+        kd.create_kitti_info_file(fake_kitti)
+        kd.create_reduced_point_cloud(fake_kitti)
+        kd.create_groundtruth_database(fake_kitti)
+
+        cfg_path = tmp_path / "tiny_kitti.config"
+        cfg_path.write_text(TINY_PIPELINE)
+        patches = [
+            f"train_input_reader.kitti_info_path="
+            f"'{fake_kitti / 'kitti_infos_train.pkl'}'",
+            f"train_input_reader.kitti_root_path='{fake_kitti}'",
+            f"eval_input_reader.kitti_info_path="
+            f"'{fake_kitti / 'kitti_infos_val.pkl'}'",
+            f"eval_input_reader.kitti_root_path='{fake_kitti}'",
+            "train_config.steps_per_eval=0",
+        ]
+        trainer = Trainer(cfg_path, tmp_path / "run", synthetic=False,
+                          max_points=3000, total_steps=3,
+                          patches=patches)
+        state = trainer.train(3)
+        assert int(state.step) == 3
+        detail = trainer.evaluate(state)
+        # official KITTI AP protocol executed on real annos end-to-end
+        assert any("/3d" in k for k in detail)
+        log = (tmp_path / "run" / "log.json").read_text()
+        assert "eval" in log
