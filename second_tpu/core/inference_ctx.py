@@ -77,7 +77,9 @@ class InferenceContext:
         jb = {k: jnp.asarray(v) for k, v in batch.items()
               if k != "image_idx"}
         det = self._eval_step(self.state, jb)
-        det = {k: np.asarray(v[0]) for k, v in det.items()}
+        # drop scalar telemetry (voxel/stage overflow counters)
+        det = {k: np.asarray(v)[0] for k, v in det.items()
+               if np.asarray(v).ndim > 0}
         keep = det["valid"]
         return {"boxes": det["boxes"][keep], "scores": det["scores"][keep],
                 "labels": det["labels"][keep],

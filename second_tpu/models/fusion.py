@@ -167,6 +167,127 @@ class FusionRPN(nn.Module):
         return out
 
 
+def gather_image_features(p3, idxs, valid, bilinear: bool = False):
+    """Per-BEV-cell image-feature gather — the reference's `feature_crop`
+    (nearest) / `feature_crop_interp` (bilinear) used by RPN_SECOND_FUSION
+    (`rpn.py:616-620`).
+
+    p3: [B, Hf, Wf, C]; idxs: [B, H, W, 2] fractional (row, col) pixel per
+    BEV cell; valid: [B, H, W]. Returns [B, H, W, C].
+    """
+    Hf, Wf = p3.shape[1:3]
+    b_idx = jnp.arange(p3.shape[0])[:, None, None]
+    if not bilinear:
+        r = jnp.clip(jnp.round(idxs[..., 0]).astype(jnp.int32), 0, Hf - 1)
+        c = jnp.clip(jnp.round(idxs[..., 1]).astype(jnp.int32), 0, Wf - 1)
+        out = p3[b_idx, r, c]
+    else:
+        r = jnp.clip(idxs[..., 0], 0.0, Hf - 1.0)
+        c = jnp.clip(idxs[..., 1], 0.0, Wf - 1.0)
+        r0 = jnp.floor(r).astype(jnp.int32)
+        c0 = jnp.floor(c).astype(jnp.int32)
+        r1 = jnp.minimum(r0 + 1, Hf - 1)
+        c1 = jnp.minimum(c0 + 1, Wf - 1)
+        wr = (r - r0)[..., None]
+        wc = (c - c0)[..., None]
+        out = (p3[b_idx, r0, c0] * (1 - wr) * (1 - wc) +
+               p3[b_idx, r0, c1] * (1 - wr) * wc +
+               p3[b_idx, r1, c0] * wr * (1 - wc) +
+               p3[b_idx, r1, c1] * wr * wc)
+    return jnp.where(valid[..., None], out, 0.0)
+
+
+class ZSliceFusionRPN(nn.Module):
+    """Per-z-slice feature-crop fusion RPN — the reference's
+    `RPN_SECOND_FUSION` (`rpn.py:450-639`): detection heads run on the pure
+    BEV trunk; the RGB FPN-18 runs without gradient (`torch.no_grad`,
+    `:604` → `lax.stop_gradient`), its P3 map is cropped once per z-slice at
+    host-projected BEV-cell pixels (`idxs_norm`), the D slices stack into
+    channels, and the result is exposed as `gated_concat_feat` for the
+    second stage's classification crops. (The reference implementation is
+    unfinished — inline pdb at `:621` — so this reproduces its declared
+    structure.)
+
+    idxs_norm: [B, D, H, W, 2] fractional P3 (row, col) per z-slice per BEV
+    cell; idxs_valid: [B, D, H, W].
+    """
+    layer_nums: Sequence[int] = (5,)
+    layer_strides: Sequence[int] = (1,)
+    num_filters: Sequence[int] = (128,)
+    upsample_strides: Sequence[int] = (1,)
+    num_upsample_filters: Sequence[int] = (128,)
+    num_class: int = 1
+    num_anchor_per_loc: int = 2
+    box_code_size: int = 7
+    encode_background_as_zeros: bool = True
+    use_direction_classifier: bool = False
+    use_norm: bool = True
+    use_groupnorm: bool = False
+    num_groups: int = 32
+    bilinear: bool = False
+
+    @nn.compact
+    def __call__(self, bev, image, idxs_norm, idxs_valid,
+                 train: bool = False):
+        trunk = RPNBase(self.layer_nums, self.layer_strides, self.num_filters,
+                        self.upsample_strides, self.num_upsample_filters,
+                        self.use_norm, self.use_groupnorm, self.num_groups,
+                        name="trunk")(bev, train)
+        p3 = ResNetFPN18(name="fpn18")(image, train)
+        p3 = jax.lax.stop_gradient(p3)
+        D = idxs_norm.shape[1]
+        crops = [gather_image_features(p3, idxs_norm[:, i], idxs_valid[:, i],
+                                       self.bilinear)
+                 for i in range(D)]
+        crop_all = jnp.concatenate(crops, axis=-1)      # [B, H, W, D*C]
+
+        num_cls = self.num_anchor_per_loc * (
+            self.num_class if self.encode_background_as_zeros
+            else self.num_class + 1)
+        box_preds = nn.Conv(self.num_anchor_per_loc * self.box_code_size,
+                            (1, 1), name="conv_box")(trunk)
+        cls_preds = nn.Conv(num_cls, (1, 1), name="conv_cls")(trunk)
+        out = {"box_preds": box_preds, "cls_preds": cls_preds,
+               "trunk": trunk, "gated_bev_feat": trunk,
+               "gated_concat_feat": crop_all}
+        if self.use_direction_classifier:
+            out["dir_cls_preds"] = nn.Conv(self.num_anchor_per_loc * 2,
+                                           (1, 1), name="conv_dir_cls")(trunk)
+        return out
+
+
+def compute_bev_zslice_projection(rect, Trv2c, P2, image_shape, pc_range,
+                                  voxel_size, out_stride, bev_hw,
+                                  num_z_slices, image_stride: int = 8):
+    """Host/numpy helper: project the center of every (z-slice, BEV cell)
+    into P3 pixel coordinates — the data-layer contract behind the
+    reference's `idxs_norm` input (`rpn.py:593,616`; the producing reader is
+    absent upstream, reconstructed from the call sites).
+
+    Returns (idxs [D, H, W, 2] f32 fractional (row, col), valid [D, H, W]).
+    """
+    import numpy as np
+    from ..core import box_np
+    H, W = bev_hw
+    D = num_z_slices
+    xs = pc_range[0] + (np.arange(W) + 0.5) * voxel_size[0] * out_stride
+    ys = pc_range[1] + (np.arange(H) + 0.5) * voxel_size[1] * out_stride
+    z_step = (pc_range[5] - pc_range[2]) / D
+    zs = pc_range[2] + (np.arange(D) + 0.5) * z_step
+    gz, gy, gx = np.meshgrid(zs, ys, xs, indexing="ij")
+    pts = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+    cam = box_np.lidar_to_camera(pts, rect, Trv2c)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        uv = box_np.project_to_image(cam, P2)
+    uv = np.nan_to_num(uv, nan=-1.0, posinf=-1.0, neginf=-1.0)
+    valid = ((cam[:, 2] > 0) &
+             (uv[:, 0] >= 0) & (uv[:, 0] < image_shape[1]) &
+             (uv[:, 1] >= 0) & (uv[:, 1] < image_shape[0]))
+    idxs = np.stack([uv[:, 1], uv[:, 0]], -1) / image_stride
+    return (idxs.reshape(D, H, W, 2).astype(np.float32),
+            valid.reshape(D, H, W))
+
+
 class FusionVoxelNet(nn.Module):
     """VFE → middle → FusionRPN (the reference's fusion one-stage model)."""
     vfe_class_name: str = "VoxelFeatureExtractorV3"

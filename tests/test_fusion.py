@@ -11,6 +11,7 @@ from second_tpu.models.fusion import (FusionRPN, FusionVoxelNet, ResNetFPN18,
 
 
 class TestFPN18:
+    @pytest.mark.slow       # ResNet-18 compile ~40s on one CPU core
     def test_p3_stride8(self):
         mod = ResNetFPN18()
         img = jnp.zeros((1, 64, 96, 3))
@@ -223,3 +224,68 @@ class TestFusionEndToEnd:
         det = eval_step(state, dict(batch))
         assert det["boxes"].shape[-1] == 7
         assert det["valid"].dtype == bool
+
+
+class TestZSliceFusion:
+    def test_gather_nearest_and_bilinear(self):
+        from second_tpu.models.fusion import gather_image_features
+        p3 = jnp.arange(1 * 4 * 4 * 2, dtype=jnp.float32).reshape(1, 4, 4, 2)
+        idxs = jnp.asarray([[[[1.0, 2.0], [0.4, 0.6]]]])      # [1,1,2,2]
+        valid = jnp.asarray([[[True, False]]])
+        out = gather_image_features(p3, idxs, valid)
+        np.testing.assert_allclose(np.asarray(out[0, 0, 0]),
+                                   np.asarray(p3[0, 1, 2]))
+        assert np.abs(np.asarray(out[0, 0, 1])).sum() == 0   # invalid → 0
+        # bilinear at integer coords equals nearest
+        outb = gather_image_features(p3, idxs, valid, bilinear=True)
+        np.testing.assert_allclose(np.asarray(outb[0, 0, 0]),
+                                   np.asarray(p3[0, 1, 2]))
+        # bilinear interpolates between neighbors
+        mid = gather_image_features(
+            p3, jnp.asarray([[[[0.0, 0.5]]]]), jnp.asarray([[[True]]]),
+            bilinear=True)
+        np.testing.assert_allclose(
+            np.asarray(mid[0, 0, 0]),
+            np.asarray((p3[0, 0, 0] + p3[0, 0, 1]) / 2))
+
+    def test_bev_zslice_projection(self):
+        from second_tpu.models.fusion import compute_bev_zslice_projection
+        rect = np.eye(4)
+        velo2cam = np.array([[0, -1, 0, 0], [0, 0, -1, 0],
+                             [1, 0, 0, 0], [0, 0, 0, 1]], np.float64)
+        P2 = np.array([[100.0, 0, 96, 0], [0, 100, 48, 0],
+                       [0, 0, 1, 0], [0, 0, 0, 1]])
+        idxs, valid = compute_bev_zslice_projection(
+            rect, velo2cam, P2, (96, 192), (0, -8, -3, 16, 8, 1),
+            (0.25, 0.25), 2, (32, 32), num_z_slices=4)
+        assert idxs.shape == (4, 32, 32, 2)
+        assert valid.shape == (4, 32, 32)
+        assert valid.any()
+        # valid projections land inside the stride-8 P3 map
+        assert (idxs[valid][:, 0] >= 0).all()
+        assert (idxs[valid][:, 0] <= 96 / 8).all()
+        assert (idxs[valid][:, 1] <= 192 / 8).all()
+
+    @pytest.mark.slow      # compiles the FPN trunk (~1 min on one CPU core)
+    def test_zslice_rpn_forward(self):
+        from second_tpu.models.fusion import ZSliceFusionRPN
+        mod = ZSliceFusionRPN(num_class=1, num_anchor_per_loc=2)
+        bev = jnp.zeros((1, 16, 16, 32))
+        img = jnp.zeros((1, 48, 96, 3))
+        D = 3
+        idxs = jnp.zeros((1, D, 16, 16, 2), jnp.float32)
+        valid = jnp.ones((1, D, 16, 16), bool)
+        params = mod.init(jax.random.PRNGKey(0), bev, img, idxs, valid,
+                          train=False)
+        out = mod.apply(params, bev, img, idxs, valid, train=False)
+        assert out["box_preds"].shape == (1, 16, 16, 14)
+        assert out["cls_preds"].shape == (1, 16, 16, 2)
+        # D z-slices stacked along channels of the P3 map (256 each)
+        assert out["gated_concat_feat"].shape == (1, 16, 16, D * 256)
+        # image branch is stop-gradient: grads wrt fpn params are zero
+        def loss(p):
+            o = mod.apply(p, bev + 1.0, img + 1.0, idxs, valid, train=False)
+            return o["gated_concat_feat"].sum() + o["cls_preds"].sum()
+        g = jax.grad(loss)(params)
+        fpn_g = jax.tree_util.tree_leaves(g["params"]["fpn18"])
+        assert all(float(jnp.abs(x).sum()) == 0 for x in fpn_g)

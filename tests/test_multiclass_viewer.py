@@ -194,6 +194,7 @@ class TestInferenceContextAndViewer:
         assert det["boxes"].ndim == 2 and det["boxes"].shape[1] == 7
         assert len(det["scores"]) == len(det["boxes"])
 
+    @pytest.mark.slow       # spins a server + builds the net (~50s CPU)
     def test_viewer_backend_http(self, tmp_path):
         from second_tpu.viewer.backend import BackendState, make_handler
         from second_tpu.testing import TINY_PIPELINE

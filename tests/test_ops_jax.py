@@ -222,6 +222,7 @@ class TestNMS:
             sup |= iou[i] > 0.3
         assert got == sorted(kept)
 
+    @pytest.mark.slow       # per-class NMS compile ~40s on one CPU core
     def test_multiclass(self):
         boxes = jnp.asarray([
             [0.0, 0, 2, 4, 0.0],

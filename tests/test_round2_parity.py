@@ -25,6 +25,7 @@ class TestMiddleVariants:
         "SpMiddleFHDLarge": (41, 8, 256),
     }
 
+    @pytest.mark.slow       # compile-heavy: ~25-130s/variant on one CPU core
     @pytest.mark.parametrize("name", sorted(CASES))
     def test_forward_shape(self, name):
         import jax

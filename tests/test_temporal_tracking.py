@@ -10,6 +10,7 @@ from second_tpu.utils.assignment import greedy_solve, solve_frame_pair
 from second_tpu.utils.mot_metrics import MOTAccumulator
 
 
+@pytest.mark.slow           # two-frame detector compiles: ~2.5 min on CPU
 class TestTemporalDetector:
     @pytest.fixture(scope="class")
     def setup(self):
