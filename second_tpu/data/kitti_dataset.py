@@ -195,6 +195,29 @@ def _add_num_points_in_gt(root, info):
         [counts, -np.ones(int((~keep).sum()), counts.dtype)]).astype(np.int32)
 
 
+def create_demo_info_file(data_path, scene: str = "demo", save_path=None,
+                          relative_path=True):
+    """Label-free info file for a KITTI-raw drive laid out like a `testing`
+    split (reference `create_data_demo.py:53-128` — that script hardcodes
+    user paths and an inline pdb; this is the working equivalent).
+
+    Frames come from `testing/test.txt` if present, else every image in
+    `testing/image_2`. Writes `kitti_infos_test_<scene>.pkl`.
+    """
+    data_path = pathlib.Path(data_path)
+    save_path = pathlib.Path(save_path or data_path)
+    ids_file = data_path / "testing" / "test.txt"
+    ids = _read_imageset(ids_file) if ids_file.exists() else None
+    infos = kitti.get_kitti_image_info(
+        data_path, training=False, label_info=False, velodyne=True,
+        calib=True, image_ids=ids, relative_path=relative_path)
+    out = save_path / f"kitti_infos_test_{scene}.pkl"
+    with open(out, "wb") as f:
+        pickle.dump(infos, f)
+    print(f"wrote {out} ({len(infos)} frames)")
+    return str(out)
+
+
 def create_reduced_point_cloud(data_path, info_path=None, save_path=None):
     """Frustum-cull each cloud to the camera FOV → velodyne_reduced
     (reference `create_data.py:124-182`)."""
@@ -279,11 +302,17 @@ def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("command", choices=[
         "create_kitti_info_file", "create_reduced_point_cloud",
-        "create_groundtruth_database"])
+        "create_groundtruth_database", "create_demo_info_file"])
     parser.add_argument("--data_path", required=True)
     parser.add_argument("--save_path", default=None)
+    parser.add_argument("--scene", default="demo",
+                        help="scene tag for create_demo_info_file")
     args = parser.parse_args()
-    globals()[args.command](args.data_path, save_path=args.save_path)
+    if args.command == "create_demo_info_file":
+        create_demo_info_file(args.data_path, scene=args.scene,
+                              save_path=args.save_path)
+    else:
+        globals()[args.command](args.data_path, save_path=args.save_path)
 
 
 if __name__ == "__main__":

@@ -58,6 +58,88 @@ def sample_scene(rng: np.random.Generator, *,
     return points, gt_boxes, gt_names
 
 
+def lidar_scan_scene(rng: np.random.Generator, *,
+                     pc_range=(0.0, -39.68, -3.0, 69.12, 39.68, 1.0),
+                     num_cars=(3, 12), num_beams=64, num_azimuth=2048,
+                     ground_z=-1.73, sensor_z=0.0, max_range=75.0):
+    """KITTI-like LiDAR scan: rays from the sensor over a beam/azimuth grid
+    intersect the ground plane and car boxes; first hit wins.
+
+    Unlike :func:`sample_scene`'s uniform clutter, returns cluster along
+    scan rings and surfaces, so voxel occupancy and sparse-conv dilation
+    match real point-cloud geometry — use for benchmarks and capacity
+    sizing. Returns (points [P, 4], gt_boxes [G, 7], gt_names [G]).
+    """
+    n_cars = int(rng.integers(num_cars[0], num_cars[1] + 1))
+    boxes = []
+    for _ in range(n_cars):
+        for _attempt in range(20):
+            dims = CAR_MEAN_DIMS * rng.uniform(0.85, 1.15, 3)
+            x = rng.uniform(pc_range[0] + 5, pc_range[3] - 3)
+            y = rng.uniform(pc_range[1] + 3, pc_range[4] - 3)
+            z = ground_z + rng.uniform(-0.05, 0.05)
+            yaw = rng.uniform(-np.pi, np.pi)
+            if all(np.hypot(b[0] - x, b[1] - y) > 4.5 for b in boxes):
+                boxes.append([x, y, z, dims[0], dims[1], dims[2], yaw])
+                break
+    gt_boxes = np.array(boxes, np.float32) if boxes else \
+        np.zeros((0, 7), np.float32)
+
+    # front 90° sector (the KITTI reduced-cloud frustum)
+    az = np.linspace(-np.pi / 4, np.pi / 4, num_azimuth, dtype=np.float32)
+    el = np.linspace(np.deg2rad(-24.8), np.deg2rad(2.0), num_beams,
+                     dtype=np.float32)
+    az, el = np.meshgrid(az, el)
+    az = az.ravel() + rng.normal(0, 1e-3, az.size).astype(np.float32)
+    el = el.ravel()
+    dx = np.cos(el) * np.cos(az)
+    dy = np.cos(el) * np.sin(az)
+    dz = np.sin(el)
+    # ground-plane hit distance (only for downward rays)
+    with np.errstate(divide="ignore"):
+        t_ground = np.where(dz < -1e-6, (ground_z - sensor_z) / dz, np.inf)
+    t_hit = np.minimum(t_ground, np.inf).astype(np.float32)
+
+    # box hits: slab test in each box's local frame
+    for b in gt_boxes:
+        c, s = np.cos(b[6]), np.sin(b[6])
+        # ray origin relative to box center (z at box middle)
+        ox, oy = -b[0], -b[1]
+        oz = sensor_z - (b[2] + b[5] / 2)
+        lox = ox * c + oy * s
+        loy = -ox * s + oy * c
+        ldx = dx * c + dy * s
+        ldy = -dx * s + dy * c
+        half = b[3:6] / 2            # w, l, h → local y, x, z? boxes are
+        # [x, y, z, w, l, h]: l along local x, w along local y
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t1 = (-half[1] - lox) / ldx
+            t2 = (half[1] - lox) / ldx
+            tx0, tx1 = np.minimum(t1, t2), np.maximum(t1, t2)
+            t1 = (-half[0] - loy) / ldy
+            t2 = (half[0] - loy) / ldy
+            ty0, ty1 = np.minimum(t1, t2), np.maximum(t1, t2)
+            t1 = (-half[2] - oz) / dz
+            t2 = (half[2] - oz) / dz
+            tz0, tz1 = np.minimum(t1, t2), np.maximum(t1, t2)
+        tin = np.maximum(np.maximum(tx0, ty0), tz0)
+        tout = np.minimum(np.minimum(tx1, ty1), tz1)
+        hit = (tin > 0.5) & (tin <= tout)
+        t_hit = np.where(hit & (tin < t_hit), tin, t_hit)
+
+    ok = np.isfinite(t_hit) & (t_hit < max_range)
+    t = (t_hit[ok] * (1 + rng.normal(0, 0.002, ok.sum()))).astype(np.float32)
+    pts = np.stack([dx[ok] * t, dy[ok] * t, sensor_z + dz[ok] * t], 1)
+    inb = ((pts[:, 0] >= pc_range[0]) & (pts[:, 0] < pc_range[3]) &
+           (pts[:, 1] >= pc_range[1]) & (pts[:, 1] < pc_range[4]) &
+           (pts[:, 2] >= pc_range[2]) & (pts[:, 2] < pc_range[5]))
+    pts = pts[inb]
+    intensity = rng.uniform(0, 1, (len(pts), 1)).astype(np.float32)
+    points = np.concatenate([pts, intensity], 1).astype(np.float32)
+    gt_names = np.array(["Car"] * len(gt_boxes))
+    return points, gt_boxes, gt_names
+
+
 def synthetic_calib(image_shape=(192, 624)):
     """A KITTI-like synthetic camera: identity rectification, the standard
     lidar→camera axis permutation, and a centered pinhole P2."""

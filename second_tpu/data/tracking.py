@@ -194,6 +194,48 @@ def write_kitti_tracking_result(result_dir, seq_name: str, frames_id,
     return str(path)
 
 
+class TrackingPairDataset:
+    """Flattens tracking sequences into (cur, prev) frame-pair examples for
+    the temporal detector — the `input_reader_tr_vid_spatio` equivalent
+    (`train_2st_spatio.py:22-32` imports it from an absent module; the
+    example contract is the `p_*` keys consumed by
+    `train/steps_multistage.make_temporal_steps`).
+
+    Wraps any dataset of sequences (:class:`KittiTrackingDataset` or
+    :class:`SyntheticTrackingDataset`-style); item t of a sequence pairs
+    with its predecessor (frame 0 pairs with itself, matching the
+    reference's first-frame handling).
+    """
+
+    def __init__(self, sequences):
+        self._seqs = sequences
+        self._index: List = []
+        for s in range(len(sequences)):
+            seq = sequences[s]
+            for t in range(len(seq)):
+                self._index.append((s, t))
+
+    def __len__(self):
+        return len(self._index)
+
+    def __getitem__(self, idx) -> Dict:
+        s, t = self._index[idx]
+        seq = self._seqs[s]
+        cur = seq[t]
+        prev = seq[t - 1] if t > 0 else cur
+        return {
+            "points": cur["points"],
+            "gt_boxes": cur["gt_boxes"],
+            "gt_names": cur.get("gt_names",
+                                np.array(["Car"] * len(cur["gt_boxes"]))),
+            "track_ids": cur.get("track_ids"),
+            "p_points": prev["points"],
+            "p_gt_boxes": prev["gt_boxes"],
+            "image_idx": idx,
+            "calib": None,
+        }
+
+
 # ---------------------------------------------------------------------------
 # Synthetic tracking sequences (no mounted data)
 # ---------------------------------------------------------------------------

@@ -183,6 +183,15 @@ class Trainer:
                     max(32, dataset_size // 8), seed=2, pc_range=pc_range,
                     with_image=self.use_fusion,
                     image_shape=self.image_shape)
+        elif model_type == "temporal":
+            # KITTI tracking-benchmark sequences → (cur, prev) frame pairs
+            # (reader root = the tracking split dir, label_02/velodyne/calib)
+            from ..data.tracking import (KittiTrackingDataset,
+                                         TrackingPairDataset)
+            self.train_ds = TrackingPairDataset(KittiTrackingDataset(
+                self.cfg.train_input_reader.kitti_root_path))
+            self.eval_ds = TrackingPairDataset(KittiTrackingDataset(
+                self.cfg.eval_input_reader.kitti_root_path))
         else:
             from ..data.kitti_dataset import KittiDataset
             self.train_ds = KittiDataset(
@@ -265,7 +274,11 @@ class Trainer:
         return state
 
     # -- loops -------------------------------------------------------------
-    def train(self, total_steps: Optional[int] = None):
+    def train(self, total_steps: Optional[int] = None,
+              profile_steps: int = 0):
+        """`profile_steps > 0` captures a jax.profiler trace (xprof/
+        TensorBoard-viewable) of that many steps into model_dir/profile —
+        the framework's tracing hook (SURVEY §5.1)."""
         from .prefetch import PrefetchIterator
         tc = self.cfg.train_config
         total_steps = total_steps or self.total_steps
@@ -281,8 +294,14 @@ class Trainer:
         pr = PrecisionRecall()
         last_ckpt_time = time.time()
         step = int(state.step)
+        profile_until = step + profile_steps if profile_steps else -1
+        if profile_steps:
+            jax.profiler.start_trace(str(self.model_dir / "profile"))
         try:
             while step < total_steps:
+                if step == profile_until:
+                    jax.profiler.stop_trace()
+                    profile_until = -1
                 self.timer.start("data")
                 batch = next(batches)
                 self.timer.end("data")
@@ -309,6 +328,9 @@ class Trainer:
             # crash-save, like the reference's try/except around the loop
             self.ckpt.save(state, int(state.step))
             raise
+        finally:
+            if profile_until >= 0:
+                jax.profiler.stop_trace()
         self.ckpt.save(state, int(state.step))
         return state
 
@@ -322,7 +344,10 @@ class Trainer:
                     self._eval_overflow.get(key, 0) + int(det.pop(key)))
         for b, scene in enumerate(scenes):
             valid = det["valid"][b]
-            if self.synthetic:
+            # tracking-benchmark scenes carry lidar-frame gt but no camera
+            # annos — evaluate them through the lidar→camera mapping used
+            # for synthetic data
+            if self.synthetic or "annos" not in scene:
                 gt_annos.append(_synthetic_lidar_to_camera_annos(
                     scene["gt_boxes"], scene["gt_names"]))
                 dt_annos.append(_synthetic_lidar_to_camera_annos(
@@ -406,13 +431,16 @@ def main():
                         metavar="PATH=VALUE",
                         help="runtime config patch, repeatable "
                              "(e.g. --patchs train_config.steps=100)")
+    parser.add_argument("--profile_steps", type=int, default=0,
+                        help="capture a jax.profiler trace of the first N "
+                             "train steps into model_dir/profile")
     args = parser.parse_args()
     trainer = Trainer(args.config_path, args.model_dir, args.synthetic,
                       args.dataset_size, args.max_points,
                       total_steps=args.steps, model_type=args.model_type,
                       patches=args.patchs)
     if args.command == "train":
-        trainer.train(args.steps)
+        trainer.train(args.steps, profile_steps=args.profile_steps)
     else:
         trainer.evaluate(max_frames=args.max_frames)
 

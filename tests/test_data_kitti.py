@@ -267,3 +267,18 @@ class TestCreateDataAndDataset:
         assert any("/3d" in k for k in detail)
         log = (tmp_path / "run" / "log.json").read_text()
         assert "eval" in log
+
+    def test_create_demo_info_file(self, fake_kitti):
+        """KITTI-raw demo info: label-free test-split infos
+        (create_data_demo equivalent)."""
+        import shutil
+        from second_tpu.data import kitti_dataset as kd
+        for sub in ("velodyne", "calib", "image_2"):
+            shutil.copytree(fake_kitti / "training" / sub,
+                            fake_kitti / "testing" / sub)
+        out = kd.create_demo_info_file(fake_kitti, scene="0001")
+        with open(out, "rb") as f:
+            infos = pickle.load(f)
+        assert len(infos) == 2
+        assert all("annos" not in i for i in infos)
+        assert all("velodyne_path" in i and "calib/P2" in i for i in infos)

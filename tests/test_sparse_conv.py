@@ -186,3 +186,38 @@ class TestResNetMiddle:
                         jnp.asarray(valid), train=False)
         assert out.shape == (B, 4, 4, 128)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestStageCapacities:
+    @pytest.mark.slow
+    def test_fhd_caps_fit_lidar_scan_no_overflow(self):
+        """The FHD_CAP_FACTORS sizing must not truncate active sites on
+        LiDAR-scan geometry (the capacity profile they were measured on)."""
+        import numpy as np
+        from second_tpu import runtime
+        from second_tpu.data.synthetic import lidar_scan_scene
+        from second_tpu.models.sparse_middle import SparseMiddleFHD
+        from second_tpu.train.state import sum_stage_overflow
+
+        rng = np.random.default_rng(3)
+        pts, _, _ = lidar_scan_scene(rng, num_azimuth=512)
+        vs = [0.05, 0.05, 0.1]
+        pr = [0.0, -40.0, -3.0, 70.4, 40.0, 1.0]
+        _, coords, _ = runtime.points_to_voxel(
+            np.ascontiguousarray(pts), vs, pr, 1, 200000)
+        N = 16000
+        co = np.zeros((1, N, 3), np.int32)
+        n = min(len(coords), N)
+        co[0, :n] = coords[:n]
+        va = np.zeros((1, N), bool)
+        va[0, :n] = True
+        feats = np.zeros((1, N, 4), np.float32)
+
+        mod = SparseMiddleFHD(output_shape=(41, 1600, 1408))
+        variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(feats),
+                             jnp.asarray(co), jnp.asarray(va), train=False)
+        bev, mut = mod.apply(variables, jnp.asarray(feats), jnp.asarray(co),
+                             jnp.asarray(va), train=False,
+                             mutable=["intermediates"])
+        assert bev.shape == (1, 200, 176, 128)
+        assert int(sum_stage_overflow(mut["intermediates"])) == 0

@@ -289,3 +289,20 @@ class TestEndToEndTrackingTraining:
         # result files written in KITTI tracking format
         files = list((tmp_path / "tracking_results" / "val").glob("*.txt"))
         assert len(files) == 2
+
+
+class TestTrackingPairDataset:
+    def test_pairs_from_sequences(self):
+        from second_tpu.data.tracking import (SyntheticTrackingDataset,
+                                              TrackingPairDataset)
+        seqs = SyntheticTrackingDataset(size=3, seed=1, num_frames=4,
+                                        num_ground=300)
+        ds = TrackingPairDataset(seqs)
+        assert len(ds) == 12
+        ex0 = ds[0]          # first frame pairs with itself
+        np.testing.assert_array_equal(ex0["points"], ex0["p_points"])
+        ex1 = ds[1]
+        assert ex1["points"].shape[1] == 4
+        assert ex1["p_points"].shape[1] == 4
+        assert not np.array_equal(ex1["points"], ex1["p_points"])
+        assert ex1["gt_boxes"].shape[1] == 7
