@@ -1,0 +1,82 @@
+"""Data-parallel evaluation with in-graph metric reduction.
+
+The reference's DDP eval loop all-reduces per-rank statistics over NCCL
+(SURVEY §2.6 "all_gather for eval metrics"; `train_new_re.py:325-337` runs
+eval per-rank and merges). TPU-native version: the eval forward runs under
+`shard_map` over the `data` mesh axis, each shard computes its detection
+statistics locally, and a `lax.psum` over ICI reduces them — one jitted
+program, no host gather of intermediate stats. Detections stay sharded on
+the batch axis (the host reads them back per-example for AP conversion).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..models.detector import DetectorSpec, predict
+from ..train.state import VoxelizeSpec, device_voxelize
+
+SCORE_THRESHOLDS = (0.1, 0.3, 0.5, 0.7, 0.9)
+
+
+def _local_stats(det):
+    """Per-shard detection statistics: valid detections and counts above
+    each score threshold, [T + 1] int32."""
+    valid = det["valid"]
+    scores = jnp.where(valid, det["scores"], -1.0)
+    counts = [(scores >= t).sum() for t in SCORE_THRESHOLDS]
+    return jnp.stack([valid.sum(), *counts]).astype(jnp.int32)
+
+
+def make_dp_eval_step(spec: DetectorSpec, vspec: VoxelizeSpec, mesh: Mesh,
+                      axis_name: str = "data"):
+    """Jitted eval step over a data-parallel mesh.
+
+    Returns `eval_step(variables, batch) -> (det, stats)` where `det` leaves
+    are sharded [B, ...] on the batch axis and `stats` is the psum-reduced
+    global statistics vector (identical on every device).
+
+    `variables` must be replicated and `batch` sharded on its leading axis
+    (see `shard_batch` / `replicate_state`). The per-shard batch size is
+    B / mesh.size, so B must divide evenly.
+    """
+
+    def shard_fn(variables, points, points_mask, anchors, apply_fn):
+        vox = device_voxelize(vspec, points, points_mask)
+        preds = apply_fn(variables, vox["voxels"], vox["num_points"],
+                         vox["coordinates"], vox["voxel_valid"], train=False)
+        det = predict(spec, preds, anchors)
+        local = jnp.concatenate([
+            _local_stats(det),
+            vox["voxel_overflow"].astype(jnp.int32)[None]])
+        stats = jax.lax.psum(local, axis_name)
+        return det, stats
+
+    def eval_step(module, variables, batch: Dict):
+        fn = shard_map(
+            partial(shard_fn, apply_fn=module.apply),
+            mesh=mesh,
+            in_specs=(P(), P(axis_name), P(axis_name), P(axis_name)),
+            out_specs=(P(axis_name), P()),
+            check_rep=False)
+        return jax.jit(fn)(variables, batch["points"], batch["points_mask"],
+                           batch["anchors"])
+
+    return eval_step
+
+
+def stats_to_dict(stats) -> Dict[str, int]:
+    """Readable form of the reduced statistics vector."""
+    import numpy as np
+    stats = np.asarray(stats)
+    out = {"num_detections": int(stats[0])}
+    for i, t in enumerate(SCORE_THRESHOLDS):
+        out[f"num_score_ge_{t}"] = int(stats[i + 1])
+    out["voxel_overflow"] = int(stats[-1])
+    return out

@@ -206,3 +206,29 @@ class TestAnchorsMask:
         assert mask[anchors[:, 0] > 10].sum() == 0   # empty right half
         assert (ex["labels"][~mask] == -1).all()
         assert (ex["labels"] > 0).sum() > 0
+
+
+class TestDataParallelEval:
+    def test_dp_eval_metric_psum(self, setup):
+        """Sharded eval over the 8-device mesh: detections come back batch-
+        sharded, metric stats are psum-reduced and match a host-side count
+        (SURVEY 2.6 'all_gather for eval metrics')."""
+        from second_tpu.parallel import make_mesh, replicate_state, \
+            shard_batch
+        from second_tpu.parallel.eval_dp import (make_dp_eval_step,
+                                                 stats_to_dict)
+        mesh = make_mesh(jax.devices()[:8])
+        prep, examples = setup["prep"], setup["examples"]
+        batch = prep.collate(examples[:8])
+        batch = {k: v for k, v in batch.items() if k != "image_idx"}
+        sbatch = shard_batch(batch, mesh)
+        state = replicate_state(fresh(setup["state"]), mesh)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        eval_step = make_dp_eval_step(setup["spec"], setup["vspec"], mesh)
+        det, stats = eval_step(setup["module"], variables, sbatch)
+        d = stats_to_dict(stats)
+        # reduced count equals the host-side count over the gathered dets
+        assert d["num_detections"] == int(np.asarray(det["valid"]).sum())
+        assert det["boxes"].shape[0] == 8
+        assert d["num_score_ge_0.1"] <= d["num_detections"]
