@@ -68,6 +68,11 @@ def build_voxelnet(cfg: schema.ModelConfig, mixed_precision: bool = False):
                 cfg.middle_feature_extractor.num_filters_down1)
             middle_kwargs["num_filters_down2"] = tuple(
                 cfg.middle_feature_extractor.num_filters_down2)
+        if mixed_precision and middle_name in (
+                "SpMiddleFHD", "SpMiddleFHDLite", "SpMiddleResNetFHD"):
+            # bf16 active-set features halve the rulebook gather bandwidth;
+            # BN stats and conv accumulation stay fp32
+            middle_kwargs["dtype"] = "bfloat16"
     out_size_factor = middle_downsample * rpn_out_stride
     fmap = (1, ny // out_size_factor, nx // out_size_factor)
     num_anchors = fmap[1] * fmap[2] * num_anchor_per_loc

@@ -30,6 +30,8 @@ class MaskedBatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x, mask, train: bool = False):
         C = x.shape[-1]
+        out_dtype = x.dtype
+        x = x.astype(jnp.float32)     # stats and normalization in fp32
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((C,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
@@ -49,7 +51,7 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
         y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return (y * scale + bias) * m
+        return ((y * scale + bias) * m).astype(out_dtype)
 
 
 class SubMBlock(nn.Module):
@@ -61,6 +63,7 @@ class SubMBlock(nn.Module):
     @nn.compact
     def __call__(self, feats, coords, keys, valid, train: bool = False):
         cin = feats.shape[-1]
+        in_dtype = feats.dtype
         w = self.param("kernel", nn.initializers.variance_scaling(
             1.0, "fan_in", "normal"), (27, cin, self.features))
         bias = None if self.use_norm else self.param(
@@ -71,7 +74,7 @@ class SubMBlock(nn.Module):
         out = conv(feats, coords, keys, valid)
         if self.use_norm:
             out = MaskedBatchNorm()(out, valid, train)
-        return nn.relu(out) * valid[..., None]
+        return (nn.relu(out) * valid[..., None]).astype(in_dtype)
 
 
 class SparseBasicBlock(nn.Module):
@@ -84,11 +87,12 @@ class SparseBasicBlock(nn.Module):
     @nn.compact
     def __call__(self, feats, coords, keys, valid, train: bool = False):
         cin = feats.shape[-1]
+        in_dtype = feats.dtype
         residual = feats
         if cin != self.features:
             w0 = self.param("proj", nn.initializers.variance_scaling(
                 1.0, "fan_in", "normal"), (cin, self.features))
-            residual = feats @ w0
+            residual = feats @ w0.astype(in_dtype)
         out = feats
         for i in range(2):
             cin_i = out.shape[-1]
@@ -102,8 +106,8 @@ class SparseBasicBlock(nn.Module):
                 out = MaskedBatchNorm()(out, valid, train)
             if i == 0:
                 out = nn.relu(out)
-        out = nn.relu(out + residual)
-        return out * valid[..., None]
+        out = nn.relu(out + residual.astype(out.dtype))
+        return (out * valid[..., None]).astype(in_dtype)
 
 
 class SparseBottleneck(nn.Module):
@@ -117,16 +121,17 @@ class SparseBottleneck(nn.Module):
     @nn.compact
     def __call__(self, feats, coords, keys, valid, train: bool = False):
         cin = feats.shape[-1]
+        in_dtype = feats.dtype
         cout = self.features * self.expansion
         residual = feats
         if cin != cout:
             w0 = self.param("proj", nn.initializers.variance_scaling(
                 1.0, "fan_in", "normal"), (cin, cout))
-            residual = feats @ w0
+            residual = feats @ w0.astype(in_dtype)
         # conv1x1 (k=1 submanifold = per-voxel matmul)
         w1 = self.param("kernel1x1_a", nn.initializers.variance_scaling(
             1.0, "fan_in", "normal"), (cin, self.features))
-        out = feats @ w1
+        out = feats @ w1.astype(in_dtype)
         if self.use_norm:
             out = MaskedBatchNorm()(out, valid, train)
         out = nn.relu(out)
@@ -142,11 +147,11 @@ class SparseBottleneck(nn.Module):
         # conv1x1 expand
         w3 = self.param("kernel1x1_b", nn.initializers.variance_scaling(
             1.0, "fan_in", "normal"), (self.features, cout))
-        out = out @ w3
+        out = out @ w3.astype(out.dtype)
         if self.use_norm:
             out = MaskedBatchNorm()(out, valid, train)
-        out = nn.relu(out + residual)
-        return out * valid[..., None]
+        out = nn.relu(out + residual.astype(out.dtype))
+        return (out * valid[..., None]).astype(in_dtype)
 
 
 class DownBlock(nn.Module):
@@ -168,6 +173,8 @@ class DownBlock(nn.Module):
         bias = None if self.use_norm else self.param(
             "conv_bias", nn.initializers.zeros, (self.features,))
 
+        in_dtype = feats.dtype
+
         def one(f, c, k, v):
             out, oc, ok, ov, og, nu = sp.sparse_conv3d(
                 f, c, k, v, self.grid_dhw, w, self.kernel_size, self.stride,
@@ -179,7 +186,7 @@ class DownBlock(nn.Module):
                  jnp.maximum(nu - self.out_cap, 0).sum())
         if self.use_norm:
             out = MaskedBatchNorm()(out, ov, train)
-        out = nn.relu(out) * ov[..., None]
+        out = (nn.relu(out) * ov[..., None]).astype(in_dtype)
         out_grid = tuple(
             ((np.array(self.grid_dhw) + 2 * np.array(self.padding)
               - np.array(self.kernel_size)) // np.array(self.stride) + 1
@@ -214,6 +221,7 @@ class SparseMiddleFHD(nn.Module):
     use_norm: bool = True
     channels: Sequence[int] = (16, 32, 64, 64, 64)
     cap_factors: Sequence[float] = FHD_CAP_FACTORS
+    dtype: Any = None           # e.g. "bfloat16": halves gather bandwidth
 
     @nn.compact
     def __call__(self, voxel_features, coords, valid, train: bool = False):
@@ -221,6 +229,8 @@ class SparseMiddleFHD(nn.Module):
         B, N = voxel_features.shape[:2]
         caps = [_round_cap(N * f) for f in self.cap_factors]
         c16, c32, c64, c64b, c64c = self.channels
+        if self.dtype is not None:
+            voxel_features = voxel_features.astype(self.dtype)
 
         sort = jax.vmap(lambda c, f, v: sp.sort_active(c, f, v, grid0))
         coords, feats, valid, keys = sort(coords, voxel_features, valid)
@@ -271,12 +281,15 @@ class SparseMiddleFHDLite(nn.Module):
     use_norm: bool = True
     channels: Sequence[int] = (16, 32, 64, 64)
     cap_factors: Sequence[float] = FHD_CAP_FACTORS
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, voxel_features, coords, valid, train: bool = False):
         grid0 = tuple(int(v) for v in self.output_shape)
         B, N = voxel_features.shape[:2]
         caps = [_round_cap(N * f) for f in self.cap_factors]
+        if self.dtype is not None:
+            voxel_features = voxel_features.astype(self.dtype)
         sort = jax.vmap(lambda c, f, v: sp.sort_active(c, f, v, grid0))
         coords, feats, valid, keys = sort(coords, voxel_features, valid)
         grid = grid0
@@ -305,6 +318,7 @@ class SparseMiddleResNetFHD(nn.Module):
     use_norm: bool = True
     channels: Sequence[int] = (16, 32, 64, 64, 64)
     cap_factors: Sequence[float] = FHD_CAP_FACTORS
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, voxel_features, coords, valid, train: bool = False):
@@ -312,6 +326,8 @@ class SparseMiddleResNetFHD(nn.Module):
         B, N = voxel_features.shape[:2]
         caps = [_round_cap(N * f) for f in self.cap_factors]
         c16, c32, c64, c64b, c64c = self.channels
+        if self.dtype is not None:
+            voxel_features = voxel_features.astype(self.dtype)
         sort = jax.vmap(lambda c, f, v: sp.sort_active(c, f, v, grid0))
         coords, feats, valid, keys = sort(coords, voxel_features, valid)
         feats = SparseBasicBlock(c16, grid0, self.use_norm)(

@@ -163,16 +163,23 @@ def gather_taps(features, keys_sorted, base_coords, base_valid, grid_dhw,
     sen = sentinel(grid_dhw)
     grid = np.array(grid_dhw, np.int32)
 
-    # augmented array: kx row-shifted feature copies + their keys (hi/lo
-    # fp32-exact halves) so tap-found masks come from the same gather
+    # augmented array: kx row-shifted feature copies + their keys, packed
+    # into dtype-exact integer channels so tap-found masks come from the
+    # same gather. fp32 holds ints < 2^24 → two 16-bit halves; bf16 holds
+    # ints < 2^8 → four bytes.
+    if jnp.dtype(features.dtype).itemsize >= 4:
+        shift_bits, chunk_mask = (16, 0), 0xFFFF
+    else:
+        shift_bits, chunk_mask = (24, 16, 8, 0), 0xFF
+    parts = len(shift_bits)
     shifted_f = [features] + [jnp.roll(features, -i, axis=0)
                               for i in range(1, kx)]
     shifted_k = [keys_sorted] + [jnp.roll(keys_sorted, -i, axis=0)
                                  for i in range(1, kx)]
     key_ch = []
     for k in shifted_k:
-        key_ch.append((k >> 16).astype(features.dtype))
-        key_ch.append((k & 0xFFFF).astype(features.dtype))
+        for sb in shift_bits:
+            key_ch.append(((k >> sb) & chunk_mask).astype(features.dtype))
     aug = jnp.concatenate(shifted_f + [jnp.stack(key_ch, -1)], axis=-1)
 
     # group masks check z/y bounds only; x bounds are per-tap (the window
@@ -193,16 +200,19 @@ def gather_taps(features, keys_sorted, base_coords, base_valid, grid_dhw,
     safe = jnp.clip(rank, 0, N - 1)
     rank_ok = rank < N
 
-    gathered = aug[safe]                             # [kz*ky, Q, kx*C + 2kx]
+    gathered = aug[safe]                        # [kz*ky, Q, kx*(C + parts)]
     x0 = base_coords[:, 2]
     out = []
     for g in range(kz * ky):
         rows_f = [gathered[g, :, i * C:(i + 1) * C] for i in range(kx)]
         kb = kx * C
-        rows_key = [
-            (gathered[g, :, kb + 2 * i].astype(jnp.int32) << 16) |
-            gathered[g, :, kb + 2 * i + 1].astype(jnp.int32)
-            for i in range(kx)]
+        rows_key = []
+        for i in range(kx):
+            acc = jnp.zeros(gathered.shape[1], jnp.int32)
+            for t, sb in enumerate(shift_bits):
+                acc = acc | (gathered[g, :, kb + parts * i + t]
+                             .astype(jnp.int32) << sb)
+            rows_key.append(acc)
         for j in range(kx):
             want = qk[g] + j
             x_ok = ((x0 + j) >= 0) & ((x0 + j) < W)  # no row-major wrap
@@ -228,7 +238,8 @@ def subm_conv3d(features, coords, keys_sorted, valid, grid_dhw, weights,
     base = coords - np.array(kernel_size, np.int32) // 2
     stacked = gather_taps(features, keys_sorted, base, valid, grid_dhw,
                           kernel_size)                  # [K, N, Cin]
-    out = jnp.einsum("knc,kcd->nd", stacked, weights,
+    out = jnp.einsum("knc,kcd->nd", stacked,
+                     weights.astype(features.dtype),
                      preferred_element_type=jnp.float32)
     if bias is not None:
         out = out + bias
@@ -316,7 +327,8 @@ def sparse_conv3d(features, coords, keys_sorted, valid, grid_dhw, weights,
     base = out_coords * stride_np - padding_np          # tap (0,0,0) origin
     stacked = gather_taps(features, keys_sorted, base, out_valid, grid_dhw,
                           tuple(kernel_np.tolist()))    # [K, M, Cin]
-    out = jnp.einsum("knc,kcd->nd", stacked, weights,
+    out = jnp.einsum("knc,kcd->nd", stacked,
+                     weights.astype(features.dtype),
                      preferred_element_type=jnp.float32)
     if bias is not None:
         out = out + bias

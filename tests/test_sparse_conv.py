@@ -221,3 +221,38 @@ class TestStageCapacities:
                              mutable=["intermediates"])
         assert bev.shape == (1, 200, 176, 128)
         assert int(sum_stage_overflow(mut["intermediates"])) == 0
+
+
+class TestBF16SparseConv:
+    def test_subm_bf16_matches_fp32(self):
+        """bf16 features: byte-packed key channels must keep tap matching
+        EXACT; conv output matches fp32 within bf16 tolerance."""
+        rng = np.random.default_rng(0)
+        grid = (5, 12, 16)
+        N = 128
+        lin = np.sort(rng.choice(grid[0] * grid[1] * grid[2], 90,
+                                 replace=False))
+        coords = np.stack([lin // (grid[1] * grid[2]),
+                           (lin // grid[2]) % grid[1],
+                           lin % grid[2]], -1).astype(np.int32)
+        co = np.zeros((N, 3), np.int32)
+        co[:90] = coords
+        va = np.zeros(N, bool)
+        va[:90] = True
+        ke = np.full(N, sp.sentinel(grid), np.int32)
+        ke[:90] = lin
+        feats = rng.normal(0, 1, (N, 8)).astype(np.float32)
+        w = rng.normal(0, 0.2, (27, 8, 8)).astype(np.float32)
+
+        out32 = sp.subm_conv3d(jnp.asarray(feats), jnp.asarray(co),
+                               jnp.asarray(ke), jnp.asarray(va), grid,
+                               jnp.asarray(w))
+        out16 = sp.subm_conv3d(jnp.asarray(feats, jnp.bfloat16),
+                               jnp.asarray(co), jnp.asarray(ke),
+                               jnp.asarray(va), grid, jnp.asarray(w))
+        a32 = np.asarray(out32)
+        a16 = np.asarray(out16, np.float32)
+        # same sparsity pattern: zero rows match exactly
+        np.testing.assert_array_equal(a32 == 0, a16 == 0)
+        err = np.abs(a32 - a16).max() / max(np.abs(a32).max(), 1e-6)
+        assert err < 0.05, f"bf16 relative error {err:.4f}"
