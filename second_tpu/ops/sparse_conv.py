@@ -83,27 +83,33 @@ def lookup_many(keys_sorted, query_keys, query_valid, block: int = 128):
     # level 1: bucket index = (# pivots <= q) - 1, clamped
     ge = (q[:, None] >= pivots[None, :])             # [KQ, nb] VPU compare
     bucket = jnp.clip(ge.sum(-1) - 1, 0, nb - 1).astype(jnp.int32)
-    # level 2: select the bucket's keys with a one-hot MXU matmul instead of
-    # a row gather (XLA TPU gathers serialize; a [KQ, nb]x[nb, block] matmul
-    # does not). Keys exceed fp32's exact-integer range, so hi/lo 16-bit
-    # halves are selected separately — one-hot selection is exact for values
-    # < 2^24.
-    onehot = (jnp.arange(nb, dtype=jnp.int32)[None, :] ==
-              bucket[:, None]).astype(jnp.float32)   # [KQ, nb]
-    keys2d = keys_sorted.reshape(nb, block)
-    hi = (keys2d >> 16).astype(jnp.float32)
-    lo = (keys2d & 0xFFFF).astype(jnp.float32)
-    rows_hi = jax.lax.dot(onehot, hi,
-                          precision=jax.lax.Precision.HIGHEST)
-    rows_lo = jax.lax.dot(onehot, lo,
-                          precision=jax.lax.Precision.HIGHEST)
-    rows = (rows_hi.astype(jnp.int32) << 16) | rows_lo.astype(jnp.int32)
+    rows = _select_bucket_rows(keys_sorted, bucket, nb, block)
     eq = rows == q[:, None]
     slot = eq.argmax(-1).astype(jnp.int32)
     found = eq.any(-1)
     idx = bucket * block + slot
     return (idx.reshape(K, Q),
             found.reshape(K, Q) & query_valid)
+
+
+def _select_bucket_rows(keys_sorted, bucket, nb, block):
+    """Select each query's key bucket [*, block] with one-hot MXU matmuls
+    instead of a row gather (XLA TPU gathers serialize; a [KQ, nb]x[nb,
+    block] matmul does not). The keys are split into four 8-bit chunks:
+    with a one-hot left operand exactly one product per output is non-zero,
+    and bytes (< 2^8) are exact in bf16, so DEFAULT-precision matmuls —
+    the MXU's native single-pass bf16 mode — reconstruct the int32 exactly
+    (vs the previous 2x fp32-HIGHEST 6-pass selection: ~3x cheaper)."""
+    onehot = (jnp.arange(nb, dtype=jnp.int32)[None, :] ==
+              bucket[:, None]).astype(jnp.bfloat16)  # [KQ, nb]
+    keys2d = keys_sorted.reshape(nb, block)
+    rows = jnp.zeros(onehot.shape[:1] + (block,), jnp.int32)
+    for sb in (24, 16, 8, 0):
+        chunk = ((keys2d >> sb) & 0xFF).astype(jnp.bfloat16)
+        sel = jax.lax.dot(onehot, chunk,
+                          preferred_element_type=jnp.float32)
+        rows = rows | (sel.astype(jnp.int32) << sb)
+    return rows
 
 
 def _offsets(kernel_size: Tuple[int, int, int]) -> np.ndarray:
@@ -127,14 +133,7 @@ def lookup_rank(keys_sorted, query_keys, block: int = 128):
     pivots = keys_sorted[::block]                    # [nb]
     ge = (q[:, None] >= pivots[None, :])
     bucket = jnp.clip(ge.sum(-1) - 1, 0, nb - 1).astype(jnp.int32)
-    onehot = (jnp.arange(nb, dtype=jnp.int32)[None, :] ==
-              bucket[:, None]).astype(jnp.float32)
-    keys2d = keys_sorted.reshape(nb, block)
-    hi = (keys2d >> 16).astype(jnp.float32)
-    lo = (keys2d & 0xFFFF).astype(jnp.float32)
-    rows_hi = jax.lax.dot(onehot, hi, precision=jax.lax.Precision.HIGHEST)
-    rows_lo = jax.lax.dot(onehot, lo, precision=jax.lax.Precision.HIGHEST)
-    rows = (rows_hi.astype(jnp.int32) << 16) | rows_lo.astype(jnp.int32)
+    rows = _select_bucket_rows(keys_sorted, bucket, nb, block)
     rank = bucket * block + (rows < q[:, None]).sum(-1).astype(jnp.int32)
     return rank.reshape(G, Q)
 
