@@ -218,7 +218,6 @@ def predict(spec: DetectorSpec, preds_dict, anchors, anchors_mask=None):
     nc = spec.num_class if spec.encode_background_as_zeros \
         else spec.num_class + 1
     cls_preds = preds_dict["cls_preds"].reshape(B, A, nc)
-    boxes = box_ops.second_box_decode(box_preds, anchors)
 
     if spec.encode_background_as_zeros:
         scores_all = jax.nn.sigmoid(cls_preds)
@@ -242,9 +241,11 @@ def predict(spec: DetectorSpec, preds_dict, anchors, anchors_mask=None):
 
     valid = jnp.ones((B, A), bool) if anchors_mask is None else anchors_mask
 
-    def one_example(boxes, scores_all, dir_labels, valid, rank):
-        bev = boxes[:, [0, 1, 3, 4, 6]]
+    def one_example(box_preds, anchor_row, scores_all, dir_labels, valid,
+                    rank):
         if spec.use_multi_class_nms:
+            boxes = box_ops.second_box_decode(box_preds, anchor_row)
+            bev = boxes[:, [0, 1, 3, 4, 6]]
             idx_c, keep_c, sc_c = multiclass_nms(
                 bev, scores_all, valid, num_classes=spec.num_class,
                 pre_max_size=spec.nms_pre_max_size,
@@ -263,6 +264,7 @@ def predict(spec: DetectorSpec, preds_dict, anchors, anchors_mask=None):
             sel_lab = lab[sel]
             sel_keep = jnp.isfinite(top_sc)
             sel_scores = jnp.where(sel_keep, top_sc, 0.0)
+            sel_boxes = boxes[sel_idx]
         else:
             if nc == 1:
                 top_scores = scores_all[:, 0]
@@ -272,15 +274,27 @@ def predict(spec: DetectorSpec, preds_dict, anchors, anchors_mask=None):
                 top_labels = scores_all.argmax(-1).astype(jnp.int32)
             nms_scores = rank if has_rank else top_scores
             ok = valid & (nms_scores >= spec.nms_score_threshold)
+            # prefilter FIRST, decode only the nms_pre_max_size candidates
+            # (the decode transcendentals over all A≈140k anchors were the
+            # predict hot spot; reference decodes everything,
+            # box_torch_ops.second_box_decode over the full grid)
+            masked = jnp.where(ok, nms_scores, -jnp.inf)
+            k = min(spec.nms_pre_max_size, A)
+            cand_scores, cand_idx = jax.lax.top_k(masked, k)
+            cand_valid = jnp.isfinite(cand_scores)
+            cand_boxes = box_ops.second_box_decode(box_preds[cand_idx],
+                                                   anchor_row[cand_idx])
+            bev = cand_boxes[:, [0, 1, 3, 4, 6]]
             nms_fn = nms if spec.use_rotate_nms else nearest_nms
-            sel_idx, sel_keep = nms_fn(
-                bev, nms_scores, ok, pre_max_size=spec.nms_pre_max_size,
-                post_max_size=spec.nms_post_max_size,
+            rel_idx, sel_keep = nms_fn(
+                bev, jnp.where(cand_valid, cand_scores, 0.0), cand_valid,
+                pre_max_size=k, post_max_size=spec.nms_post_max_size,
                 iou_threshold=spec.nms_iou_threshold)
+            sel_idx = cand_idx[rel_idx]
+            sel_boxes = cand_boxes[rel_idx]
             sel_lab = top_labels[sel_idx]
             sel_scores = jnp.where(sel_keep, top_scores[sel_idx], 0.0)
 
-        sel_boxes = boxes[sel_idx]
         sel_dir = dir_labels[sel_idx]
         if spec.use_direction_classifier:
             opp = (sel_boxes[..., -1] > 0) != (sel_dir > 0)
@@ -294,8 +308,8 @@ def predict(spec: DetectorSpec, preds_dict, anchors, anchors_mask=None):
             sel_keep = sel_keep & inside
         return sel_boxes, sel_scores, sel_lab, sel_keep
 
-    b, s, l, k = jax.vmap(one_example)(boxes, scores_all, dir_labels, valid,
-                                       rank_scores)
+    b, s, l, k = jax.vmap(one_example)(box_preds, anchors, scores_all,
+                                       dir_labels, valid, rank_scores)
     return {"boxes": b, "scores": s, "labels": l, "valid": k}
 
 

@@ -212,6 +212,12 @@ class Trainer:
             self.train_step = make_train_step(self.spec, self.vspec)
             self.eval_step = make_eval_step(self.spec, self.vspec,
                                             self.eval_vspec)
+            # multi-device: shard the eval batch over the mesh; detection
+            # statistics psum-reduce in-graph (SURVEY 2.6)
+            if jax.device_count() > 1 and \
+                    self.cfg.eval_input_reader.batch_size \
+                    % jax.device_count() == 0:
+                self._setup_dp_eval()
         elif model_type == "two_stage":
             from .steps_multistage import make_two_stage_steps
             self.train_step, self.eval_step = make_two_stage_steps(
@@ -231,6 +237,28 @@ class Trainer:
         self.ckpt = CheckpointManager(self.model_dir)
         self.logger = MetricsLogger(self.model_dir)
         self.timer = StageTimer()
+
+    def _setup_dp_eval(self):
+        """Replace eval_step with the mesh-sharded variant: batch sharded
+        on the data axis, per-shard stats psum-reduced on device."""
+        from ..parallel import make_mesh, shard_batch
+        from ..parallel.eval_dp import make_dp_eval_step, stats_to_dict
+        mesh = make_mesh()
+        dp_step = make_dp_eval_step(self.spec, self.eval_vspec, mesh)
+
+        def eval_step(state, batch):
+            sbatch = shard_batch(
+                {k: batch[k] for k in ("points", "points_mask", "anchors")},
+                mesh)
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            det, stats = dp_step(self.module, variables, sbatch)
+            det = dict(det)
+            det["voxel_overflow"] = stats[-1]
+            self._last_eval_stats = stats_to_dict(stats)
+            return det
+
+        self.eval_step = eval_step
 
     # -- data --------------------------------------------------------------
     def _batch_iter(self, batch_size, rng):

@@ -232,3 +232,20 @@ class TestDataParallelEval:
         assert d["num_detections"] == int(np.asarray(det["valid"]).sum())
         assert det["boxes"].shape[0] == 8
         assert d["num_score_ge_0.1"] <= d["num_detections"]
+
+    @pytest.mark.slow
+    def test_trainer_dp_eval_path(self, tmp_path):
+        """Trainer auto-enables the mesh-sharded eval step when the eval
+        batch divides the device count; AP eval completes end-to-end."""
+        from second_tpu.testing import TINY_PIPELINE
+        from second_tpu.train.run import Trainer
+        cfg_path = tmp_path / "tiny.config"
+        cfg_path.write_text(TINY_PIPELINE)
+        trainer = Trainer(cfg_path, tmp_path / "run", synthetic=True,
+                          dataset_size=16, max_points=3000, total_steps=2,
+                          patches=["eval_input_reader.batch_size=8"])
+        assert hasattr(trainer, "_setup_dp_eval")
+        state = trainer.train(2)
+        detail = trainer.evaluate(state, max_frames=8)
+        assert any("/3d" in k for k in detail)
+        assert trainer._last_eval_stats["num_detections"] >= 0
