@@ -33,7 +33,8 @@ class NearestIouSimilarity(RegionSimilarityCalculator):
     def compare(self, boxes1, boxes2):
         boxes1_bv = box_np.rbbox2d_to_near_bbox(boxes1)
         boxes2_bv = box_np.rbbox2d_to_near_bbox(boxes2)
-        return box_np.iou_matrix(boxes1_bv, boxes2_bv, eps=0.0)
+        from .. import runtime   # native loop; numpy-oracle fallback
+        return runtime.iou_matrix(boxes1_bv, boxes2_bv)
 
 
 class DistanceSimilarity(RegionSimilarityCalculator):

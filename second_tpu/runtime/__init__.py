@@ -57,6 +57,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.box_collision_test.restype = None
     lib.box_collision_test.argtypes = [
         c_f32p, ctypes.c_int64, c_f32p, ctypes.c_int64, c_u8p]
+    lib.iou_matrix.restype = None
+    lib.iou_matrix.argtypes = [
+        c_f32p, ctypes.c_int64, c_f32p, ctypes.c_int64, c_f32p]
     _lib = lib
     return _lib
 
@@ -105,6 +108,21 @@ def points_in_rbbox(points, boxes):
         boxes.shape[0],
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out.astype(bool)
+
+
+def iou_matrix(boxes, query_boxes):
+    """Native pairwise xyxy IoU (anchors-vs-gt similarity hot loop);
+    falls back to the numpy oracle."""
+    lib = get_lib()
+    if lib is None:
+        from ..core.box_np import iou_matrix as np_impl
+        return np_impl(boxes, query_boxes)
+    boxes = np.ascontiguousarray(boxes, np.float32)
+    query_boxes = np.ascontiguousarray(query_boxes, np.float32)
+    out = np.empty((boxes.shape[0], query_boxes.shape[0]), np.float32)
+    lib.iou_matrix(_fp(boxes), boxes.shape[0], _fp(query_boxes),
+                   query_boxes.shape[0], _fp(out))
+    return out
 
 
 def box_collision_test(boxes1, boxes2):

@@ -145,4 +145,40 @@ void box_collision_test(const float* boxes1, int64_t n1, const float* boxes2,
   }
 }
 
+// Pairwise IoU of [N, 4] x [K, 4] xyxy boxes (matches core/box_np.iou_matrix
+// with eps=0) — the anchors-vs-gt similarity matrix dominating host
+// target-assignment time (~70k anchors x few gt per frame). A tight loop
+// with the small K in the inner position avoids numpy's [N, K, 2]
+// temporaries (~15x faster on the prep path).
+void iou_matrix(const float* boxes, int64_t n, const float* query, int64_t k,
+                float* out) {
+  // queries unpacked to SoA so the inner loop reads contiguous lanes and
+  // auto-vectorizes (the AoS form ran at scalar speed)
+  std::vector<float> qx0(k), qy0(k), qx1(k), qy1(k), qa(k);
+  for (int64_t j = 0; j < k; ++j) {
+    const float* q = query + j * 4;
+    qx0[j] = q[0]; qy0[j] = q[1]; qx1[j] = q[2]; qy1[j] = q[3];
+    qa[j] = (q[2] - q[0]) * (q[3] - q[1]);
+  }
+  const float* px0 = qx0.data();
+  const float* py0 = qy0.data();
+  const float* px1 = qx1.data();
+  const float* py1 = qy1.data();
+  const float* pa = qa.data();
+  for (int64_t i = 0; i < n; ++i) {
+    const float bx0 = boxes[i * 4], by0 = boxes[i * 4 + 1];
+    const float bx1 = boxes[i * 4 + 2], by1 = boxes[i * 4 + 3];
+    const float area = (bx1 - bx0) * (by1 - by0);
+    float* row = out + i * k;
+    for (int64_t j = 0; j < k; ++j) {  // branchless
+      const float w = std::fmax(std::fmin(bx1, px1[j]) -
+                                std::fmax(bx0, px0[j]), 0.0f);
+      const float h = std::fmax(std::fmin(by1, py1[j]) -
+                                std::fmax(by0, py0[j]), 0.0f);
+      const float inter = w * h;
+      row[j] = inter / std::fmax(area + pa[j] - inter, 1e-30f);
+    }
+  }
+}
+
 }  // extern "C"

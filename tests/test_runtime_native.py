@@ -90,3 +90,20 @@ class TestSpeed:
         numpy_t = time.perf_counter() - t0
         print(f"native {native*1000:.1f} ms vs numpy {numpy_t*1000:.1f} ms")
         assert native < numpy_t
+
+
+class TestNativeIoUMatrix:
+    def test_matches_numpy_oracle(self):
+        from second_tpu import runtime
+        from second_tpu.core import box_np
+        if not runtime.available():
+            pytest.skip("native toolchain unavailable")
+        rng = np.random.default_rng(5)
+        a = np.sort(rng.uniform(0, 50, (300, 2, 2)), axis=1).reshape(300, 4)
+        b = np.sort(rng.uniform(0, 50, (17, 2, 2)), axis=1).reshape(17, 4)
+        native = runtime.iou_matrix(a, b)
+        oracle = box_np.iou_matrix(a, b)
+        np.testing.assert_allclose(native, oracle, atol=1e-6)
+        # disjoint boxes → exactly 0
+        far = np.array([[100.0, 100, 101, 101]])
+        assert runtime.iou_matrix(a, far).max() == 0.0
