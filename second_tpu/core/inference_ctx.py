@@ -72,16 +72,32 @@ class InferenceContext:
         return self.prep.collate([example])
 
     def inference(self, points: np.ndarray) -> Dict:
+        return self.inference_batch([points])[0]
+
+    def inference_batch(self, point_clouds) -> list:
+        """Run one jitted forward over a batch of frames (serving
+        micro-batching: shapes are static per batch size, so each distinct
+        batch size compiles once and is cached)."""
         import jax.numpy as jnp
-        batch = self.get_inference_input_dict(points)
+        assert self._built
+        rng = None
+        examples = [self.prep({"points": p, "image_idx": i}, rng)
+                    for i, p in enumerate(point_clouds)]
+        batch = self.prep.collate(examples)
         jb = {k: jnp.asarray(v) for k, v in batch.items()
               if k != "image_idx"}
         det = self._eval_step(self.state, jb)
         # drop scalar telemetry (voxel/stage overflow counters)
-        det = {k: np.asarray(v)[0] for k, v in det.items()
+        det = {k: np.asarray(v) for k, v in det.items()
                if np.asarray(v).ndim > 0}
-        keep = det["valid"]
-        return {"boxes": det["boxes"][keep], "scores": det["scores"][keep],
-                "labels": det["labels"][keep],
-                "class_names": [self.assigner.classes[i]
-                                for i in det["labels"][keep]]}
+        out = []
+        for b in range(len(point_clouds)):
+            keep = det["valid"][b]
+            labels = det["labels"][b][keep]
+            out.append({
+                "boxes": det["boxes"][b][keep],
+                "scores": det["scores"][b][keep],
+                "labels": labels,
+                "class_names": [self.assigner.classes[i] for i in labels],
+            })
+        return out

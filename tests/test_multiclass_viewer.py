@@ -231,3 +231,71 @@ class TestInferenceContextAndViewer:
         out = post("/api/get_pointcloud", {"image_idx": 0})
         assert out["status"] == "error"
         server.shutdown()
+
+
+class TestServing:
+    @pytest.mark.slow
+    def test_microbatch_server_end_to_end(self, tmp_path):
+        """serve.build_server: concurrent requests micro-batch into one
+        forward; health/stats endpoints report."""
+        import json as _json
+        import threading
+        import urllib.request
+        from second_tpu.serve import build_server
+        from second_tpu.testing import TINY_PIPELINE
+
+        cfg_path = tmp_path / "tiny.config"
+        cfg_path.write_text(TINY_PIPELINE)
+        server, batcher = build_server(cfg_path, None, port=0, max_batch=4,
+                                       window_ms=30.0, max_points=2000)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            rng = np.random.default_rng(0)
+            pts = np.concatenate([
+                rng.uniform([0, -8, -3], [16, 8, 1], (400, 3)),
+                rng.uniform(0, 1, (400, 1))], 1).astype(np.float32)
+
+            def post_json():
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/v1/detect",
+                    data=_json.dumps(
+                        {"points": pts.round(3).tolist()}).encode(),
+                    headers={"Content-Type": "application/json"})
+                with urllib.request.urlopen(req) as r:
+                    return _json.loads(r.read())
+
+            # concurrent JSON requests (should micro-batch)
+            results = [None] * 3
+            threads = [threading.Thread(
+                target=lambda i=i: results.__setitem__(i, post_json()))
+                for i in range(3)]
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            assert all(r["status"] == "ok" for r in results)
+
+            # binary request path
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/detect", data=pts.tobytes(),
+                headers={"Content-Type": "application/octet-stream"})
+            with urllib.request.urlopen(req) as r:
+                out = _json.loads(r.read())
+            assert out["status"] == "ok"
+
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/healthz") as r:
+                health = _json.loads(r.read())
+            assert health["status"] == "ok" and health["classes"] == ["Car"]
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/stats") as r:
+                stats = _json.loads(r.read())
+            assert stats["requests"] >= 4
+            assert "latency_ms" in stats
+            # at least one multi-request device batch formed
+            assert any(int(k) > 1 for k in stats["batch_hist"])
+        finally:
+            server.shutdown()
+            batcher.close()
