@@ -112,46 +112,60 @@ compute_temporal_loss = compute_two_stage_loss
 predict_temporal = predict_two_stage
 
 
-class TemporalSequenceVoxelNet(TemporalVoxelNet):
+class TemporalSequenceVoxelNet(nn.Module):
     """N-frame (4+) temporal batch inference (BASELINE config ladder #5,
     SURVEY §5.7): all T frames of a sequence run through the weight-shared
     backbone as one batched launch; adjacent frames are gate-fused and the
     detector fires for every frame t ≥ 1 — the TPU-native replacement for
-    sequence-parallel distribution (frames can additionally be laid out along
-    the data mesh axis)."""
+    sequence-parallel distribution.
 
-    @nn.compact
-    def __call__(self, frames, anchors, train: bool = False):
-        """frames: dict of [T, ...] arrays (voxels/num_points/coordinates/
-        voxel_valid for a single sequence); anchors [A, code].
-        Returns per-pair predictions with leading axis T-1."""
-        from .middle import MIDDLE_REGISTRY
-        from .voxel_encoder import VFE_REGISTRY
-        vfe = VFE_REGISTRY[self.vfe_class_name](
-            **dict(self.vfe_kwargs or {}), name="vfe")
-        middle = MIDDLE_REGISTRY[self.middle_class_name](
-            **dict(self.middle_kwargs or {}), name="middle")
-        feats = vfe(frames["voxels"], frames["num_points"],
-                    frames["coordinates"], train)
+    Exposed as separate `backbone` / `fuse_and_detect` methods (submodule
+    names match the two-frame `TemporalVoxelNet` params) so
+    `parallel/temporal_sp.py` can shard frames across a mesh axis and pass
+    boundary BEV maps between devices with `lax.ppermute`."""
+    vfe_class_name: str = "VoxelFeatureExtractorV3"
+    vfe_kwargs: Any = None
+    middle_class_name: str = "SpMiddleFHD"
+    middle_kwargs: Any = None
+    rpn_kwargs: Any = None
+    spec: DetectorSpec = None
+    pspec: ProposalSpec = ProposalSpec()
+    roi: RoiSpec = None
+
+    def setup(self):
+        self.vfe = VFE_REGISTRY[self.vfe_class_name](
+            **dict(self.vfe_kwargs or {}))
+        self.middle = MIDDLE_REGISTRY[self.middle_class_name](
+            **dict(self.middle_kwargs or {}))
+        self.bev_fusion = GatedBEVFusion()
+        self.rpn = RPN(**dict(self.rpn_kwargs or {}))
+        self.second_rpn = SecondStageHead(
+            self.spec.num_class, self.spec.box_code_size,
+            crop_size=self.roi.crop_size)
+
+    def backbone(self, frames, train: bool = False):
+        """frames: dict of [T, ...] voxelized arrays → BEV [T, H, W, C]."""
+        feats = self.vfe(frames["voxels"], frames["num_points"],
+                         frames["coordinates"], train)
         feats = jnp.where(frames["voxel_valid"][..., None], feats, 0.0)
-        bev = middle(feats, frames["coordinates"], frames["voxel_valid"],
-                     train)                                   # [T, H, W, C]
-        fused = GatedBEVFusion(name="bev_fusion")(bev[1:], bev[:-1])
-        rpn = RPN(**dict(self.rpn_kwargs or {}), name="rpn")
-        preds = rpn(fused, train)
+        return self.middle(feats, frames["coordinates"],
+                           frames["voxel_valid"], train)
+
+    def fuse_and_detect(self, cur_bev, prev_bev, anchors,
+                        train: bool = False):
+        """Gate-fuse (cur, prev) BEV pairs [Tp, H, W, C] and run both
+        detection stages; anchors [A, code]."""
+        fused = self.bev_fusion(cur_bev, prev_bev)
+        preds = self.rpn(fused, train)
         T1 = fused.shape[0]
-        anchors_b = jnp.broadcast_to(anchors[None],
-                                     (T1, *anchors.shape))
+        anchors_b = jnp.broadcast_to(anchors[None], (T1, *anchors.shape))
         proposals = select_proposals(self.pspec, self.spec, preds, anchors_b)
         crops = crop_rois(fused, proposals["boxes"], self.roi.pc_range,
                           self.roi.voxel_size, self.roi.out_stride,
                           self.roi.crop_size, self.roi.samples)
         Bc, N = crops.shape[:2]
         flat = crops.reshape(Bc * N, *crops.shape[2:])
-        head = SecondStageHead(self.spec.num_class, self.spec.box_code_size,
-                               crop_size=self.roi.crop_size,
-                               name="second_rpn")
-        out = head(flat)
+        out = self.second_rpn(flat)
         second_box = out["box_preds"].reshape(Bc, N, self.spec.box_code_size)
         second_cls = out["cls_preds"].reshape(Bc, N, -1)
         second_box = second_box + proposals["box_enc"]
@@ -159,6 +173,13 @@ class TemporalSequenceVoxelNet(TemporalVoxelNet):
                       "second_box_preds": second_box,
                       "second_cls_preds": second_cls})
         return preds
+
+    def __call__(self, frames, anchors, train: bool = False):
+        """frames: dict of [T, ...] arrays (voxels/num_points/coordinates/
+        voxel_valid for a single sequence); anchors [A, code].
+        Returns per-pair predictions with leading axis T-1."""
+        bev = self.backbone(frames, train)
+        return self.fuse_and_detect(bev[1:], bev[:-1], anchors, train)
 
 
 def build_temporal_voxelnet(cfg, num_proposals: int = 512):

@@ -271,3 +271,60 @@ class TestTrackingPipeline:
         # distance-prior matching on gt boxes: perfect MOTA, no id switches
         assert s["id_switches"] == 0
         assert s["mota"] == 1.0
+
+
+@pytest.mark.slow
+class TestSequenceParallel:
+    def test_sp_frames_across_mesh_matches_unsharded(self):
+        """Frames sharded over a 4-device mesh axis with a ppermute halo
+        exchange reproduce the unsharded sequence outputs (SURVEY 5.7)."""
+        from second_tpu.testing import tiny_pipeline_config, tiny_scene_kwargs
+        from second_tpu.models.temporal import (TemporalSequenceVoxelNet,
+                                                build_temporal_voxelnet)
+        from second_tpu.parallel.temporal_sp import make_sp_sequence_forward
+        from second_tpu.train.state import VoxelizeSpec, device_voxelize
+        from second_tpu.data import ExamplePrep, PrepConfig
+        from second_tpu.data.synthetic import sample_sequence
+        from jax.sharding import Mesh
+
+        cfg = tiny_pipeline_config()
+        base, spec, info, assigner, coder = build_temporal_voxelnet(
+            cfg.model, num_proposals=16)
+        module = TemporalSequenceVoxelNet(
+            vfe_class_name=base.vfe_class_name, vfe_kwargs=base.vfe_kwargs,
+            middle_class_name=base.middle_class_name,
+            middle_kwargs=base.middle_kwargs, rpn_kwargs=base.rpn_kwargs,
+            spec=base.spec, pspec=base.pspec, roi=base.roi)
+        vspec = VoxelizeSpec.from_config(cfg.model.voxel_generator, 512)
+        prep = ExamplePrep(assigner, info.feature_map_size,
+                           PrepConfig(max_points=1500, training=False))
+        k = tiny_scene_kwargs()
+        seq = sample_sequence(np.random.default_rng(0), num_frames=8,
+                              pc_range=k["pc_range"], num_cars=(2, 4),
+                              num_ground=800)
+        rng = np.random.default_rng(1)
+        exs = [prep({**f, "image_idx": t}, rng) for t, f in enumerate(seq)]
+        points = jnp.asarray(np.stack([e["points"] for e in exs]))
+        mask = jnp.asarray(np.stack([e["points_mask"] for e in exs]))
+        vox = device_voxelize(vspec, points, mask)
+        frames = {key: vox[key] for key in ("voxels", "num_points",
+                                            "coordinates", "voxel_valid")}
+        anchors = jnp.asarray(prep.anchors)
+        variables = module.init(jax.random.PRNGKey(0), frames, anchors,
+                                train=False)
+        ref = module.apply(variables, frames, anchors, train=False)
+
+        mesh = Mesh(np.array(jax.devices()[:4]), ("frame",))
+        fwd = make_sp_sequence_forward(module, mesh)
+        sp = fwd(variables, frames, anchors)
+        # pair 0 (wrap-around) flagged invalid; the rest match unsharded
+        pv = np.asarray(sp["pair_valid"])
+        assert not pv[0] and pv[1:].all()
+        # tolerance: conv batching (8-frame vs 2-frame launches) changes
+        # the reduction order; observed max rel diff ~5e-4
+        np.testing.assert_allclose(np.asarray(sp["box_preds"])[1:],
+                                   np.asarray(ref["box_preds"]),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(sp["second_box_preds"])[1:],
+                                   np.asarray(ref["second_box_preds"]),
+                                   rtol=2e-3, atol=2e-3)
