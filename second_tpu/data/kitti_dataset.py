@@ -218,6 +218,58 @@ def create_demo_info_file(data_path, scene: str = "demo", save_path=None,
     return str(out)
 
 
+def convert_raw_calib(raw_calib_dir, out_dir, image_dir=None):
+    """KITTI-raw drive calibration (`calib_cam_to_cam.txt` /
+    `calib_velo_to_cam.txt` / `calib_imu_to_velo.txt`) → per-frame
+    object-format `calib/FFFFFF.txt` files (reference `calib_mapping.py`,
+    which hardcodes user paths; this is the reusable equivalent).
+
+    One file per image in `image_dir` (or a single `000000.txt` if None).
+    Returns the list of files written.
+    """
+    raw = pathlib.Path(raw_calib_dir)
+
+    def kv(path):
+        out = {}
+        for line in pathlib.Path(path).read_text().splitlines():
+            key, _, rest = line.partition(":")
+            out[key.strip()] = rest.split()
+        return out
+
+    c2c = kv(raw / "calib_cam_to_cam.txt")
+    v2c = kv(raw / "calib_velo_to_cam.txt")
+    i2v = kv(raw / "calib_imu_to_velo.txt")
+
+    def rt(d):
+        R = np.array(d["R"], np.float64).reshape(3, 3)
+        T = np.array(d["T"], np.float64).reshape(3, 1)
+        return np.concatenate([R, T], 1).reshape(-1)
+
+    lines = []
+    for i in range(4):
+        lines.append(f"P{i}: " + " ".join(c2c[f"P_rect_0{i}"]))
+    lines.append("R0_rect: " + " ".join(c2c["R_rect_00"]))
+    lines.append("Tr_velo_to_cam: " +
+                 " ".join(f"{x:.12e}" for x in rt(v2c)))
+    lines.append("Tr_imu_to_velo: " +
+                 " ".join(f"{x:.12e}" for x in rt(i2v)))
+    text = "\n".join(lines) + "\n"
+
+    out_dir = pathlib.Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if image_dir is not None:
+        stems = sorted(p.stem for p in pathlib.Path(image_dir).glob("*.png"))
+    else:
+        stems = ["000000"]
+    written = []
+    for stem in stems:
+        path = out_dir / f"{stem}.txt"
+        path.write_text(text)
+        written.append(str(path))
+    print(f"wrote {len(written)} calib files to {out_dir}")
+    return written
+
+
 def create_reduced_point_cloud(data_path, info_path=None, save_path=None):
     """Frustum-cull each cloud to the camera FOV → velodyne_reduced
     (reference `create_data.py:124-182`)."""

@@ -282,3 +282,30 @@ class TestCreateDataAndDataset:
         assert len(infos) == 2
         assert all("annos" not in i for i in infos)
         assert all("velodyne_path" in i and "calib/P2" in i for i in infos)
+
+    def test_convert_raw_calib(self, tmp_path):
+        """KITTI-raw drive calib → per-frame object-format calib files
+        (calib_mapping equivalent); output parses with the calib parser."""
+        from second_tpu.data import kitti_dataset as kd
+        raw = tmp_path / "2011_09_26"
+        raw.mkdir()
+        rect = " ".join(["1", "0", "0", "0", "1", "0", "0", "0", "1"])
+        proj = " ".join(["700", "0", "600", "0", "0", "700", "180", "0",
+                         "0", "0", "1", "0"])
+        (raw / "calib_cam_to_cam.txt").write_text("\n".join(
+            [f"R_rect_00: {rect}"] +
+            [f"P_rect_0{i}: {proj}" for i in range(4)]) + "\n")
+        (raw / "calib_velo_to_cam.txt").write_text(
+            "calib_time: x\nR: 0 -1 0 0 0 -1 1 0 0\nT: 0 0 0\n")
+        (raw / "calib_imu_to_velo.txt").write_text(
+            "calib_time: x\nR: 1 0 0 0 1 0 0 0 1\nT: 0 0 0\n")
+        img_dir = tmp_path / "image_2"
+        img_dir.mkdir()
+        for i in range(3):
+            (img_dir / f"{i:06d}.png").write_bytes(b"")
+        written = kd.convert_raw_calib(raw, tmp_path / "calib", img_dir)
+        assert len(written) == 3
+        parsed = kitti.parse_calib_lines(
+            open(written[0]).read().splitlines())
+        assert parsed["calib/P2"].shape == (4, 4)
+        assert parsed["calib/Tr_velo_to_cam"][0, 1] == -1.0
