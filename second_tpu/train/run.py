@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import pathlib
 import shutil
+import sys
 import time
 from typing import Dict, List, Optional
 
@@ -418,6 +419,10 @@ class Trainer:
         gt_annos, dt_annos = [], []
         self._eval_overflow = {}
         t0 = time.time()
+        bar = None
+        if sys.stdout.isatty() and len(starts) > 1:
+            from ..utils.misc import ProgressBar
+            bar = ProgressBar(len(starts))
         pending = None   # (device detections, scenes) of the previous batch
         for scenes, jbatch in bounded_ordered_map(
                 make_batch, starts, num_workers=workers, prefetch=8):
@@ -426,6 +431,8 @@ class Trainer:
                 self._convert_detections(pending[0], pending[1],
                                          gt_annos, dt_annos)
             pending = (det, scenes)
+            if bar is not None:
+                bar.update()
         if pending is not None:
             self._convert_detections(pending[0], pending[1],
                                      gt_annos, dt_annos)
