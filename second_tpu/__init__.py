@@ -14,3 +14,15 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: the fhd eval program takes minutes to
+# compile on a tunneled runtime; cached recompiles are near-instant. Set
+# before jax initializes its config (importing second_tpu precedes any
+# framework jax use); a user-set value wins.
+import os as _os
+
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), ".jax_cache"))
+del _os

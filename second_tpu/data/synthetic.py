@@ -184,11 +184,12 @@ class SyntheticDataset:
     """
 
     def __init__(self, size=256, seed=0, with_image=False,
-                 image_shape=(192, 624), **scene_kwargs):
+                 image_shape=(192, 624), scan=False, **scene_kwargs):
         self._size = size
         self._seed = seed
         self._with_image = with_image
         self._image_shape = tuple(image_shape)
+        self._scan = scan
         self._scene_kwargs = scene_kwargs
 
     def __len__(self):
@@ -196,7 +197,14 @@ class SyntheticDataset:
 
     def __getitem__(self, idx):
         rng = np.random.default_rng(self._seed * 100003 + idx)
-        points, gt_boxes, gt_names = sample_scene(rng, **self._scene_kwargs)
+        if self._scan:
+            kwargs = {k: v for k, v in self._scene_kwargs.items()
+                      if k in ("pc_range", "num_cars")}
+            points, gt_boxes, gt_names = lidar_scan_scene(
+                rng, num_azimuth=512, **kwargs)
+        else:
+            points, gt_boxes, gt_names = sample_scene(
+                rng, **self._scene_kwargs)
         scene = {
             "points": points,
             "gt_boxes": gt_boxes,
