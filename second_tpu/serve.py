@@ -96,9 +96,16 @@ class MicroBatcher:
                 except queue.Empty:
                     break
             try:
-                results = self.ctx.inference_batch(
-                    [p.points for p in batch])
-                for p, r in zip(batch, results):
+                # pad to the next power of two: bounds distinct compiled
+                # batch sizes at log2(max_batch)+1
+                n_real = len(batch)
+                n_padded = 1
+                while n_padded < n_real:
+                    n_padded *= 2
+                clouds = [p.points for p in batch]
+                clouds += [clouds[0]] * (n_padded - n_real)
+                results = self.ctx.inference_batch(clouds)
+                for p, r in zip(batch, results[:n_real]):
                     p.result = r
             except Exception as e:  # propagate per-request
                 for p in batch:
