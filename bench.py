@@ -93,7 +93,19 @@ def _measure(config_path, max_points, max_voxels, batch=BATCH, iters=ITERS):
         out = forward(variables, points, points_mask, anchors)
         np.asarray(out["scores"])   # host fetch forces completion
     dt = time.perf_counter() - t0
-    return iters * batch / dt, overflow_stats
+    serialized = iters * batch / dt
+
+    # pipelined throughput: enqueue all calls, fetch only the last output —
+    # the runtime executes enqueued programs in order, so the final fetch
+    # bounds them all. This amortizes the host↔device round-trip the
+    # serialized loop charges to every call (what a deployed server sees).
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(variables, points, points_mask, anchors)
+    np.asarray(out["scores"])
+    dt = time.perf_counter() - t0
+    pipelined = iters * batch / dt
+    return serialized, pipelined, overflow_stats
 
 
 def _vox_kwargs(vspec, points, points_mask):
@@ -105,16 +117,20 @@ def _vox_kwargs(vspec, points, points_mask):
 
 
 def main():
-    fhd_fps, fhd_ovf = _measure("second_tpu/configs/second_car_fhd.config",
-                                max_points=30000, max_voxels=16000)
-    pp_fps, _ = _measure("second_tpu/configs/pointpillars_car.config",
-                         max_points=20000, max_voxels=12000)
+    fhd_fps, fhd_pipe, fhd_ovf = _measure(
+        "second_tpu/configs/second_car_fhd.config",
+        max_points=30000, max_voxels=16000)
+    pp_fps, pp_pipe, _ = _measure(
+        "second_tpu/configs/pointpillars_car.config",
+        max_points=20000, max_voxels=12000)
     print(json.dumps({
         "metric": "kitti_fhd_frames_per_sec_per_chip_e2e",
         "value": round(fhd_fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fhd_fps / 20.0, 3),
+        "fhd_pipelined_fps": round(fhd_pipe, 2),
         "pointpillars_fps": round(pp_fps, 2),
+        "pointpillars_pipelined_fps": round(pp_pipe, 2),
         **fhd_ovf,
     }))
 

@@ -173,6 +173,8 @@ def write_kitti_tracking_result(result_dir, seq_name: str, frames_id,
     for ids, det in zip(frames_id, frames_det):
         frame = int(det.get("frame_idx", 0))
         n = len(ids)
+        if n == 0:
+            continue
         bbox = np.asarray(det.get("bbox", np.zeros((n, 4)))).reshape(n, -1)
         dims = np.asarray(det.get("dimensions",
                                   np.zeros((n, 3)))).reshape(n, -1)

@@ -44,7 +44,9 @@ class TrackingTrainer:
     def __init__(self, model_dir, *, data_root: Optional[str] = None,
                  num_frames: int = 4, max_dets: int = 16,
                  feature_dim: int = 128, lr: float = 1e-3, seed: int = 0,
-                 dataset_size: int = 64):
+                 dataset_size: int = 64, detector_config: Optional[str] = None,
+                 detector_dir: Optional[str] = None,
+                 detector_max_points: int = 25000):
         self.model_dir = Path(model_dir)
         os.makedirs(self.model_dir, exist_ok=True)
         if data_root:
@@ -53,6 +55,14 @@ class TrackingTrainer:
             self.dataset = SyntheticTrackingDataset(
                 size=dataset_size, seed=seed, num_frames=num_frames,
                 num_cars=(3, min(8, max_dets - 2)), num_ground=2000)
+        # tracking-by-detection with a real trained detector
+        # (`train_2st_spatio.py` runs the spatio detector then tracks;
+        # without these args detections are simulated from gt)
+        self.det_ctx = None
+        if detector_config is not None:
+            from ..core.inference_ctx import InferenceContext
+            self.det_ctx = InferenceContext(detector_config).build(
+                detector_dir, max_points=detector_max_points)
         self.prep = TrackingPrep(TrackingPrepConfig(max_dets=max_dets))
         self.net = SequenceTrackNet(feature_dim=feature_dim)
         self._rng = np.random.default_rng(seed)
@@ -92,9 +102,17 @@ class TrackingTrainer:
             item = [item[i] for i in range(len(item))]
         return item
 
+    def _detections(self, frames):
+        """Run the detector on each frame (None → simulate from gt)."""
+        if self.det_ctx is None:
+            return None
+        dets = self.det_ctx.inference_batch([f["points"] for f in frames])
+        return [(d["boxes"], d["scores"]) for d in dets]
+
     def _prep_item(self, idx: int) -> Dict[str, jnp.ndarray]:
         frames = self._sequence(idx)
-        arrays = self.prep(frames, self._rng)
+        arrays = self.prep(frames, self._rng,
+                           detections=self._detections(frames))
         return {k: jnp.asarray(v) for k, v in arrays.items()}
 
     # -- training ---------------------------------------------------------
@@ -141,7 +159,8 @@ class TrackingTrainer:
         result_dir = Path(result_dir or (self.model_dir / "tracking_results"))
         for s in range(n):
             frames = self._sequence(s)
-            arrays = self.prep(frames, np.random.default_rng(10_000 + s))
+            arrays = self.prep(frames, np.random.default_rng(10_000 + s),
+                               detections=self._detections(frames))
             out = self._forward(self.params, jnp.asarray(arrays["crops"]),
                                 jnp.asarray(arrays["points"]),
                                 jnp.asarray(arrays["pmask"]))
@@ -205,11 +224,19 @@ def main():
     parser.add_argument("--feature_dim", type=int, default=128)
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--num_sequences", type=int, default=None)
+    parser.add_argument("--detector_config", default=None,
+                        help="pipeline config of a trained detector: track "
+                             "its real detections instead of gt-simulated "
+                             "ones")
+    parser.add_argument("--detector_dir", default=None,
+                        help="checkpoint dir for --detector_config")
     args = parser.parse_args()
     trainer = TrackingTrainer(
         args.model_dir, data_root=args.data_root,
         num_frames=args.num_frames, max_dets=args.max_dets,
-        feature_dim=args.feature_dim, lr=args.lr)
+        feature_dim=args.feature_dim, lr=args.lr,
+        detector_config=args.detector_config,
+        detector_dir=args.detector_dir)
     if args.action == "train":
         trainer.restore()
         trainer.train(args.steps)

@@ -306,3 +306,24 @@ class TestTrackingPairDataset:
         assert ex1["p_points"].shape[1] == 4
         assert not np.array_equal(ex1["points"], ex1["p_points"])
         assert ex1["gt_boxes"].shape[1] == 7
+
+
+class TestTrackingByDetection:
+    @pytest.mark.slow
+    def test_real_detector_feeds_tracker(self, tmp_path):
+        """--detector_config mode: frames go through the jitted detector,
+        its detections (not gt-simulated ones) drive prep, training, and
+        the MOT eval."""
+        from second_tpu.testing import TINY_PIPELINE
+        from second_tpu.train.run_tracking import TrackingTrainer
+        cfg_path = tmp_path / "tiny.config"
+        cfg_path.write_text(TINY_PIPELINE)
+        trainer = TrackingTrainer(
+            tmp_path / "trk", num_frames=3, max_dets=8, feature_dim=16,
+            lr=1e-3, dataset_size=4, detector_config=str(cfg_path),
+            detector_max_points=3000)
+        assert trainer.det_ctx is not None
+        res = trainer.train(steps=2, log_every=1)
+        assert np.isfinite(res["last_loss"])
+        summary = trainer.evaluate(num_sequences=1)
+        assert "mota" in summary
