@@ -28,7 +28,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
 
 BATCH = 4
-ITERS = 20
+ITERS = 40   # tunnel-latency drift between runs is ±1.5 fps at 20 iters
 
 
 def _measure(config_path, max_points, max_voxels, batch=BATCH, iters=ITERS):
