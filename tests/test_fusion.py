@@ -289,3 +289,22 @@ class TestZSliceFusion:
         g = jax.grad(loss)(params)
         fpn_g = jax.tree_util.tree_leaves(g["params"]["fpn18"])
         assert all(float(jnp.abs(x).sum()) == 0 for x in fpn_g)
+
+
+class TestFusionTwoStageCLI:
+    @pytest.mark.slow
+    def test_trainer_fusion_two_stage_e2e(self, tmp_path):
+        """--model_type fusion_two_stage: Trainer trains (finite loss,
+        steps advance) and evaluates through the CLI path."""
+        from second_tpu.testing import TINY_PIPELINE
+        from second_tpu.train.run import Trainer
+        cfg_path = tmp_path / "tiny.config"
+        cfg_path.write_text(TINY_PIPELINE)
+        trainer = Trainer(cfg_path, tmp_path / "run", synthetic=True,
+                          dataset_size=8, max_points=2000, total_steps=2,
+                          model_type="fusion_two_stage",
+                          patches=["train_input_reader.batch_size=2"])
+        state = trainer.train(2)
+        assert int(state.step) == 2
+        detail = trainer.evaluate(state, max_frames=4)
+        assert any("/3d" in k for k in detail)
