@@ -327,3 +327,71 @@ class TestTrackingByDetection:
         assert np.isfinite(res["last_loss"])
         summary = trainer.evaluate(num_sequences=1)
         assert "mota" in summary
+
+
+class TestTemporalTrainerOnTrackingData:
+    @pytest.mark.slow
+    def test_temporal_cli_on_fabricated_tracking_tree(self, tmp_path):
+        """--model_type temporal with a KITTI-tracking split root: the
+        TrackingPairDataset reader feeds (cur, prev) pairs through the
+        temporal Trainer train + evaluate path."""
+        from second_tpu.testing import TINY_PIPELINE
+        from second_tpu.train.run import Trainer
+
+        root = tmp_path / "training"
+        (root / "label_02").mkdir(parents=True)
+        (root / "calib").mkdir()
+        (root / "velodyne" / "0000").mkdir(parents=True)
+        label_lines = []
+        rng = np.random.default_rng(0)
+        for f in range(4):
+            # two cars moving slowly in camera frame (z ~ lidar x)
+            label_lines.append(
+                f"{f} 1 Car 0 0 -1.5 100 150 200 250 1.5 1.6 3.9 "
+                f"{2.0 + 0.1 * f:.2f} 1.5 {10.0 + 0.2 * f:.2f} 0.1")
+            label_lines.append(
+                f"{f} 2 Car 0 0 -1.2 300 150 380 250 1.5 1.6 3.9 "
+                f"{-3.0 + 0.1 * f:.2f} 1.5 {7.0 + 0.3 * f:.2f} -0.4")
+        (root / "label_02" / "0000.txt").write_text(
+            "\n".join(label_lines) + "\n")
+        calib = "\n".join([
+            "P0: 700 0 600 0 0 700 180 0 0 0 1 0",
+            "P1: 700 0 600 0 0 700 180 0 0 0 1 0",
+            "P2: 700 0 600 44 0 700 180 0 0 0 1 0",
+            "P3: 700 0 600 0 0 700 180 0 0 0 1 0",
+            "R_rect 1 0 0 0 1 0 0 0 1",
+            "Tr_velo_cam 0 -1 0 0 0 0 -1 0 1 0 0 0",
+            "Tr_imu_velo 1 0 0 0 0 1 0 0 0 0 1 0",
+        ])
+        (root / "calib" / "0000.txt").write_text(calib + "\n")
+        for f in range(4):
+            # car-surface clusters + ground in the tiny range
+            pts = [np.array([10 + 0.2 * f, -2 - 0.1 * f, -1.0]) +
+                   rng.uniform(-0.7, 0.7, (120, 3)),
+                   np.array([7 + 0.3 * f, 3 - 0.1 * f, -1.0]) +
+                   rng.uniform(-0.7, 0.7, (120, 3)),
+                   np.stack([rng.uniform(0, 16, 800),
+                             rng.uniform(-8, 8, 800),
+                             rng.normal(-1.7, 0.03, 800)], 1)]
+            cloud = np.concatenate(pts).astype(np.float32)
+            cloud = np.concatenate(
+                [cloud, rng.uniform(0, 1, (len(cloud), 1)).astype(
+                    np.float32)], 1)
+            cloud.tofile(root / "velodyne" / "0000" / f"{f:06d}.bin")
+
+        cfg_path = tmp_path / "tiny.config"
+        cfg_path.write_text(TINY_PIPELINE)
+        trainer = Trainer(
+            cfg_path, tmp_path / "run", synthetic=False, max_points=2000,
+            total_steps=2, model_type="temporal",
+            patches=[f"train_input_reader.kitti_root_path='{root}'",
+                     f"eval_input_reader.kitti_root_path='{root}'",
+                     "train_input_reader.batch_size=2",
+                     "eval_input_reader.batch_size=2"])
+        assert len(trainer.train_ds) == 4       # 4 frames → 4 pairs
+        ex = trainer.train_ds[1]
+        assert not np.array_equal(ex["points"], ex["p_points"])
+        state = trainer.train(2)
+        assert int(state.step) == 2
+        detail = trainer.evaluate(state, max_frames=4)
+        assert any("/3d" in k for k in detail)
