@@ -77,6 +77,21 @@ def make_handler(state: BackendState):
     }
 
     class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            # browser frontend: a dependency-free canvas BEV viewer (the
+            # three.js kittiviewer frontend equivalent)
+            if self.path in ("/", "/viewer"):
+                import pathlib
+                page = (pathlib.Path(__file__).parent /
+                        "frontend.html").read_bytes()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(page)))
+                self.end_headers()
+                self.wfile.write(page)
+            else:
+                self.send_error(404)
+
         def do_POST(self):
             handler = routes.get(self.path)
             if handler is None:

@@ -299,3 +299,31 @@ class TestServing:
         finally:
             server.shutdown()
             batcher.close()
+
+
+class TestViewerFrontend:
+    def test_frontend_served(self):
+        """GET / returns the self-contained BEV viewer page."""
+        import threading
+        import urllib.request
+        from http.server import ThreadingHTTPServer
+        from second_tpu.viewer.backend import BackendState, make_handler
+        server = ThreadingHTTPServer(("127.0.0.1", 0),
+                                     make_handler(BackendState()))
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/") as r:
+                page = r.read().decode()
+            assert r.status == 200
+            assert "<canvas" in page and "inference_by_idx" in page
+            # unknown path → 404
+            try:
+                urllib.request.urlopen(f"http://127.0.0.1:{port}/nope")
+                assert False, "expected 404"
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+        finally:
+            server.shutdown()
