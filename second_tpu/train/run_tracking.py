@@ -31,7 +31,7 @@ from ..core import box_np
 from ..data.tracking import (KittiTrackingDataset, SyntheticTrackingDataset,
                              TrackingPrep, TrackingPrepConfig,
                              write_kitti_tracking_result)
-from ..models.tracking import SequenceTrackNet, Tracker
+from ..models.tracking import MemoryTracker, SequenceTrackNet, Tracker
 from ..models.tracking_train import generate_gt, tracking_loss
 from ..utils.assignment import solve_frame_pair
 from ..utils.mot_metrics import MOTAccumulator
@@ -150,10 +150,15 @@ class TrackingTrainer:
     # -- evaluation -------------------------------------------------------
     def evaluate(self, num_sequences: Optional[int] = None,
                  result_dir: Optional[str] = None,
-                 det_score_threshold: float = 0.0) -> Dict:
+                 det_score_threshold: float = 0.0,
+                 tracker_kind: str = "simple") -> Dict:
         """Run tracking over held-out sequences: jitted affinity forward →
         per-pair Hungarian assignment → Tracker ids → CLEAR-MOT, plus
-        KITTI-format result files."""
+        KITTI-format result files.
+
+        tracker_kind: "simple" (pairwise id handoff) or "memory"
+        (MemoryTracker — tracks carry an embedding refreshed on match,
+        the reference's `mem_assign_det_id` semantics)."""
         n = num_sequences or min(len(self.dataset), 8)
         acc = MOTAccumulator()
         result_dir = Path(result_dir or (self.model_dir / "tracking_results"))
@@ -168,21 +173,26 @@ class TrackingTrainer:
             end = np.asarray(out["end_logits"])
             new = np.asarray(out["new_logits"])
             det_logit = np.asarray(out["det_logits"])
+            feats = np.asarray(out["feats"])
             valid = arrays["det_valid"]
             # detection gate: sigmoid(det) over threshold
             keep = valid & (det_logit >= det_score_threshold)
 
-            tracker = Tracker()
+            use_memory = tracker_kind == "memory"
+            tracker = MemoryTracker() if use_memory else Tracker()
             frames_id, frames_det = [], []
             prev_keep = None
             for t in range(len(frames)):
                 kt = np.flatnonzero(keep[t])
                 if prev_keep is None:
-                    ids = tracker.step(np.zeros((0, 2), np.int64), len(kt))
+                    matches = np.zeros((0, 2), np.int64)
                 else:
                     sub = link[t - 1][np.ix_(prev_keep, kt)]
                     matches = solve_frame_pair(
                         sub, end[t - 1][prev_keep], new[t - 1][kt])
+                if use_memory:
+                    ids = tracker.step(matches, feats[t][kt])
+                else:
                     ids = tracker.step(matches, len(kt))
                 boxes = arrays["det_boxes"][t][kt]
                 bev = box_np.center_to_minmax_2d(boxes[:, :2], boxes[:, 3:5])
@@ -230,6 +240,10 @@ def main():
                              "ones")
     parser.add_argument("--detector_dir", default=None,
                         help="checkpoint dir for --detector_config")
+    parser.add_argument("--tracker", default="simple",
+                        choices=["simple", "memory"],
+                        help="id management: pairwise handoff or "
+                             "feature-memory (mem_assign_det_id)")
     args = parser.parse_args()
     trainer = TrackingTrainer(
         args.model_dir, data_root=args.data_root,
@@ -243,7 +257,7 @@ def main():
     else:
         if not trainer.restore():
             print("warning: no checkpoint found, evaluating untrained net")
-        trainer.evaluate(args.num_sequences)
+        trainer.evaluate(args.num_sequences, tracker_kind=args.tracker)
 
 
 if __name__ == "__main__":

@@ -395,3 +395,14 @@ class TestTemporalTrainerOnTrackingData:
         assert int(state.step) == 2
         detail = trainer.evaluate(state, max_frames=4)
         assert any("/3d" in k for k in detail)
+
+
+class TestMemoryTrackerEval:
+    def test_memory_tracker_eval_path(self, tmp_path):
+        """evaluate(tracker_kind='memory'): MemoryTracker ids drive the
+        MOT loop (feature memory refreshed on match)."""
+        from second_tpu.train.run_tracking import TrackingTrainer
+        trainer = TrackingTrainer(tmp_path, num_frames=3, max_dets=8,
+                                  feature_dim=16, dataset_size=4)
+        summary = trainer.evaluate(num_sequences=1, tracker_kind="memory")
+        assert "mota" in summary and "id_switches" in summary
