@@ -222,6 +222,80 @@ class TrackingTrainer:
         return summary
 
 
+    def evaluate_windowed(self, window: int = 4,
+                          num_sequences: Optional[int] = None,
+                          det_score_threshold: float = 0.0) -> Dict:
+        """Streaming evaluation in bounded windows: sequences longer than
+        the net window are processed in overlapping chunks (stride
+        window-1, one shared frame) and window-local ids are stitched to
+        sequence-global ids by `SequenceStitcher` — the reference's
+        `align_id` path (spatio `:407-516`) end-to-end."""
+        from ..models.tracking import SequenceStitcher
+        n = num_sequences or min(len(self.dataset), 8)
+        acc = MOTAccumulator()
+        for s in range(n):
+            frames = self._sequence(s)
+            arrays = self.prep(frames, np.random.default_rng(10_000 + s),
+                               detections=self._detections(frames))
+            T = len(frames)
+            stitcher = SequenceStitcher()
+            stride = max(1, window - 1)
+            for w0 in range(0, max(1, T - 1), stride):
+                w1 = min(w0 + window, T)
+                if w1 - w0 < 2 and w0 > 0:
+                    break
+                sl = slice(w0, w1)
+                out = self._forward(
+                    self.params, jnp.asarray(arrays["crops"][sl]),
+                    jnp.asarray(arrays["points"][sl]),
+                    jnp.asarray(arrays["pmask"][sl]))
+                link = np.asarray(out["link_logits"])
+                end = np.asarray(out["end_logits"])
+                new = np.asarray(out["new_logits"])
+                det_logit = np.asarray(out["det_logits"])
+                keep = arrays["det_valid"][sl] & \
+                    (det_logit >= det_score_threshold)
+                tracker = Tracker()
+                win_ids, win_dets = [], []
+                prev_keep = None
+                for t in range(w1 - w0):
+                    kt = np.flatnonzero(keep[t])
+                    if prev_keep is None:
+                        ids = tracker.step(np.zeros((0, 2), np.int64),
+                                           len(kt))
+                    else:
+                        sub = link[t - 1][np.ix_(prev_keep, kt)]
+                        matches = solve_frame_pair(
+                            sub, end[t - 1][prev_keep], new[t - 1][kt])
+                        ids = tracker.step(matches, len(kt))
+                    boxes = arrays["det_boxes"][w0 + t][kt]
+                    bev = box_np.center_to_minmax_2d(boxes[:, :2],
+                                                     boxes[:, 3:5])
+                    win_ids.append(ids)
+                    win_dets.append({
+                        "frame_idx": frames[w0 + t].get("frame_idx",
+                                                        w0 + t),
+                        "location": boxes[:, :3], "bbox": bev,
+                    })
+                    prev_keep = kt
+                stitcher.update(win_ids, win_dets,
+                                list(range(w0, w1)))
+                if w1 == T:
+                    break
+            # MOT over the stitched global ids
+            for t, (ids, det) in enumerate(zip(stitcher.frames_id,
+                                               stitcher.frames_det)):
+                gt_boxes = frames[t]["gt_boxes"]
+                gt_bev = box_np.center_to_minmax_2d(
+                    gt_boxes[:, :2], gt_boxes[:, 3:5]) if len(gt_boxes) \
+                    else np.zeros((0, 4))
+                acc.update(list(frames[t]["track_ids"]), gt_bev,
+                           list(ids), det["bbox"])
+        summary = {k: float(v) for k, v in acc.summary().items()}
+        print(json.dumps({"windowed": True, **summary}))
+        return summary
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("action", choices=["train", "evaluate"])

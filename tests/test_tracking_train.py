@@ -406,3 +406,18 @@ class TestMemoryTrackerEval:
                                   feature_dim=16, dataset_size=4)
         summary = trainer.evaluate(num_sequences=1, tracker_kind="memory")
         assert "mota" in summary and "id_switches" in summary
+
+
+class TestWindowedEval:
+    def test_stitched_windows_match_whole_sequence_ids(self, tmp_path):
+        """evaluate_windowed on 8-frame sequences with a 4-frame window:
+        SequenceStitcher maps window-local ids to consistent global ids,
+        and MOT metrics come out comparable to whole-sequence eval."""
+        from second_tpu.train.run_tracking import TrackingTrainer
+        trainer = TrackingTrainer(tmp_path, num_frames=8, max_dets=10,
+                                  feature_dim=16, dataset_size=3)
+        whole = trainer.evaluate(num_sequences=2)
+        windowed = trainer.evaluate_windowed(window=4, num_sequences=2)
+        assert "mota" in windowed
+        # same gt volume processed either way
+        assert windowed["num_gt"] == whole["num_gt"]
