@@ -318,6 +318,9 @@ def main():
                         choices=["simple", "memory"],
                         help="id management: pairwise handoff or "
                              "feature-memory (mem_assign_det_id)")
+    parser.add_argument("--window", type=int, default=0,
+                        help="evaluate in overlapping N-frame windows "
+                             "stitched by align_id (0 = whole sequence)")
     args = parser.parse_args()
     trainer = TrackingTrainer(
         args.model_dir, data_root=args.data_root,
@@ -331,7 +334,12 @@ def main():
     else:
         if not trainer.restore():
             print("warning: no checkpoint found, evaluating untrained net")
-        trainer.evaluate(args.num_sequences, tracker_kind=args.tracker)
+        if args.window > 0:
+            trainer.evaluate_windowed(args.window,
+                                      num_sequences=args.num_sequences)
+        else:
+            trainer.evaluate(args.num_sequences,
+                             tracker_kind=args.tracker)
 
 
 if __name__ == "__main__":
