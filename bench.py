@@ -117,9 +117,12 @@ def _vox_kwargs(vspec, points, points_mask):
 
 
 def main():
+    # fhd runs at the reference's EVAL voxel capacity (40k, config `:198`;
+    # the 16k figure is the reference's train-time memory cap) so the benched
+    # workload is the full scene: voxel_overflow must be 0 in the output.
     fhd_fps, fhd_pipe, fhd_ovf = _measure(
         "second_tpu/configs/second_car_fhd.config",
-        max_points=30000, max_voxels=16000)
+        max_points=30000, max_voxels=40000)
     pp_fps, pp_pipe, _ = _measure(
         "second_tpu/configs/pointpillars_car.config",
         max_points=20000, max_voxels=12000)

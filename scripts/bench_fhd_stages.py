@@ -38,7 +38,7 @@ import jax.numpy as jnp
 
 from second_tpu.config import load_pipeline_config
 from second_tpu.data import ExamplePrep, PrepConfig
-from second_tpu.data.synthetic import sample_scene
+from second_tpu.data.synthetic import lidar_scan_scene
 from second_tpu.models import build_voxelnet
 from second_tpu.models.detector import predict
 from second_tpu.models.middle import MIDDLE_REGISTRY
@@ -53,10 +53,11 @@ def main():
     module, spec, info, assigner, coder = build_voxelnet(cfg.model)
     vspec = VoxelizeSpec.from_config(cfg.model.voxel_generator, MAX_VOXELS)
     prep = ExamplePrep(assigner, info.feature_map_size,
-                       PrepConfig(max_points=25000, training=False))
+                       PrepConfig(max_points=30000, training=False))
     pc_range = tuple(cfg.model.voxel_generator.point_cloud_range)
-    p, b, n = sample_scene(np.random.default_rng(0), pc_range=pc_range,
-                           num_ground=8000)
+    # same scene family as bench.py so segment times decompose its headline
+    p, b, n = lidar_scan_scene(np.random.default_rng(0), pc_range=pc_range,
+                               num_azimuth=512)
     ex = prep({"points": p, "gt_boxes": b, "gt_names": n, "image_idx": 0})
     batch = prep.collate([ex] * BATCH)
     points = jnp.asarray(batch["points"])

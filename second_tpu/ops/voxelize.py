@@ -11,8 +11,10 @@ Design notes (vs the host oracle `core/voxelize_np.py`):
     order. The downstream model treats voxels as a set, so ordering is
     irrelevant; tests compare against the oracle as sets.
   * When more than `max_voxels` voxels are occupied, the smallest linear ids
-    win (the oracle keeps first-seen). Both are arbitrary truncations; configs
-    size `max_voxels` to make overflow rare.
+    win (the oracle keeps first-seen) — or, with `shuffle_overflow=True`, a
+    pseudorandom spatially-uniform subset wins (use for training, where the
+    z-major smallest-key policy would amputate the top of the scene). Configs
+    size eval `max_voxels` to make overflow rare.
 """
 
 from __future__ import annotations
@@ -25,9 +27,10 @@ import numpy as np
 
 
 @partial(jax.jit, static_argnames=("voxel_size", "point_cloud_range",
-                                   "max_points", "max_voxels"))
+                                   "max_points", "max_voxels",
+                                   "shuffle_overflow"))
 def voxelize(points, points_mask, *, voxel_size, point_cloud_range,
-             max_points, max_voxels):
+             max_points, max_voxels, shuffle_overflow=False):
     """Bin a padded point cloud into fixed-capacity voxels.
 
     Args:
@@ -36,6 +39,15 @@ def voxelize(points, points_mask, *, voxel_size, point_cloud_range,
         voxel_size / point_cloud_range: python tuples (static).
         max_points: T, per-voxel point capacity (static).
         max_voxels: V, voxel capacity (static).
+        shuffle_overflow: sort/truncate by a *bijectively hashed* voxel id
+            instead of the raw z-major linear id. With the raw id, capacity
+            overflow keeps the smallest keys — i.e. silently drops every
+            voxel above some z-slice (a spatially coherent amputation that
+            destroys height/z regression; measured: fhd at 16k train cap on
+            ~28k-voxel scenes reached 8.0 3D-AP@0.7 vs 36.7 for overflow-free
+            PointPillars). Hashing makes the dropped set a pseudorandom,
+            spatially uniform sample. Use for training; eval capacities are
+            sized for zero overflow.
 
     Returns dict:
         voxels      [V, T, C]  zero-padded per-voxel points
@@ -55,16 +67,26 @@ def voxelize(points, points_mask, *, voxel_size, point_cloud_range,
     valid = in_range & points_mask
     total = int(grid[0] * grid[1] * grid[2])
     lin = (coords[:, 2] * grid[1] + coords[:, 1]) * grid[0] + coords[:, 0]
-    lin = jnp.where(valid, lin, total)  # sentinel sorts last
-
-    order = jnp.argsort(lin)  # stable: preserves arrival order within a voxel
-    lin_s = lin[order]
+    if shuffle_overflow:
+        # Knuth multiplicative hash: odd multiplier mod 2^32 is a bijection,
+        # so equal sort keys still mean equal voxels (no collisions) but the
+        # capacity cut lands on a pseudorandom, spatially uniform voxel set.
+        skey = lin.astype(jnp.uint32) * jnp.uint32(2654435761)
+    else:
+        skey = lin.astype(jnp.uint32)
+    skey = jnp.where(valid, skey, jnp.uint32(0))
+    # two-key lexicographic stable sort: invalid rows last, then by voxel key
+    # (64-bit-free: x64 is disabled, and uint32 leaves no room for a sentinel)
+    invalid_first = (~valid).astype(jnp.uint32)
+    _, key_s, order = jax.lax.sort(
+        (invalid_first, skey, jnp.arange(P, dtype=jnp.int32)),
+        num_keys=2, is_stable=True)
     pts_s = points[order]
     coords_s = coords[order]
-    valid_s = lin_s < total
+    valid_s = valid[order]
 
     is_first = jnp.concatenate(
-        [valid_s[:1], (lin_s[1:] != lin_s[:-1]) & valid_s[1:]])
+        [valid_s[:1], (key_s[1:] != key_s[:-1]) & valid_s[1:]])
     voxel_idx = jnp.cumsum(is_first) - 1                     # [P]
     num_unique = jnp.where(valid_s.any(), voxel_idx[-1] + 1, 0)
     num_voxels = jnp.minimum(num_unique, max_voxels).astype(jnp.int32)

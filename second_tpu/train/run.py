@@ -132,9 +132,14 @@ class Trainer:
             from ..models.temporal import build_temporal_voxelnet
             (self.module, self.spec, self.info, self.assigner,
              self.coder) = build_temporal_voxelnet(self.cfg.model)
+        # shuffle_overflow: the train cap is sized for memory (reference
+        # trains fhd at 16k voxels vs 40k eval, config `:121-123`) so
+        # overflow is expected — drop a pseudorandom subset, not the
+        # z-biased smallest-key cut that amputates the scene top
         self.vspec = VoxelizeSpec.from_config(
             self.cfg.model.voxel_generator,
-            self.cfg.train_input_reader.max_number_of_voxels)
+            self.cfg.train_input_reader.max_number_of_voxels,
+            shuffle_overflow=True)
         # eval gets its own voxel capacity (reference evaluates fhd with 40k
         # voxels vs 16k train, config `:121,198`)
         self.eval_vspec = VoxelizeSpec.from_config(

@@ -29,20 +29,25 @@ class VoxelizeSpec:
     point_cloud_range: Tuple[float, ...]
     max_points: int
     max_voxels: int
+    # training: drop a pseudorandom voxel subset on overflow instead of the
+    # z-biased smallest-key cut (see ops/voxelize.py)
+    shuffle_overflow: bool = False
 
     @classmethod
-    def from_config(cls, vg_cfg, max_voxels):
+    def from_config(cls, vg_cfg, max_voxels, shuffle_overflow=False):
         return cls(voxel_size=tuple(vg_cfg.voxel_size),
                    point_cloud_range=tuple(vg_cfg.point_cloud_range),
                    max_points=vg_cfg.max_number_of_points_per_voxel,
-                   max_voxels=max_voxels)
+                   max_voxels=max_voxels,
+                   shuffle_overflow=shuffle_overflow)
 
 
 def device_voxelize(vspec: VoxelizeSpec, points, points_mask):
     """Batched in-graph voxelization → model-ready tensors."""
     fn = partial(voxelize, voxel_size=vspec.voxel_size,
                  point_cloud_range=vspec.point_cloud_range,
-                 max_points=vspec.max_points, max_voxels=vspec.max_voxels)
+                 max_points=vspec.max_points, max_voxels=vspec.max_voxels,
+                 shuffle_overflow=vspec.shuffle_overflow)
     out = jax.vmap(fn)(points, points_mask)
     V = vspec.max_voxels
     voxel_valid = jnp.arange(V)[None, :] < out["num_voxels"][:, None]

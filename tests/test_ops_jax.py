@@ -174,6 +174,56 @@ class TestVoxelizeJax:
         assert int(out["num_voxels"]) == 32
         assert (np.asarray(out["num_points"]) <= 2).all()
 
+    def test_shuffle_overflow_unbiased_in_z(self):
+        """With the raw z-major key, capacity overflow keeps only the lowest
+        z-slices; shuffle_overflow must spread the kept set over all of z."""
+        vs = (0.5, 0.5, 0.5)
+        rng_ = (0.0, -4.0, -3.0, 8.0, 4.0, 1.0)
+        # one point per voxel over an 8x8x8 grid region = 512 occupied voxels
+        zs, ys, xs = np.meshgrid(np.arange(8), np.arange(8), np.arange(8),
+                                 indexing="ij")
+        points = np.stack([
+            xs.ravel() * 0.5 + 0.25, ys.ravel() * 0.5 - 4 + 0.25,
+            zs.ravel() * 0.5 - 3 + 0.25, np.zeros(512)], -1).astype(np.float32)
+        kw = dict(voxel_size=vs, point_cloud_range=rng_, max_points=2,
+                  max_voxels=128)
+        sorted_out = voxelize(jnp.asarray(points), jnp.ones(512, bool), **kw)
+        shuf_out = voxelize(jnp.asarray(points), jnp.ones(512, bool),
+                            shuffle_overflow=True, **kw)
+        for out in (sorted_out, shuf_out):
+            assert int(out["num_voxels"]) == 128
+            assert int(out["voxel_overflow"]) == 512 - 128
+        z_sorted = np.asarray(sorted_out["coords"][:128, 0])
+        z_shuf = np.asarray(shuf_out["coords"][:128, 0])
+        assert z_sorted.max() <= 1          # biased cut: bottom slices only
+        assert len(np.unique(z_shuf)) == 8  # unbiased: every slice survives
+        # kept fraction per slice ~ 1/4 each (binomial, generous bounds)
+        counts = np.bincount(z_shuf, minlength=8)
+        assert counts.min() >= 4 and counts.max() <= 32
+
+    def test_shuffle_no_overflow_same_set(self):
+        """Without overflow, shuffled and sorted voxelization agree as sets."""
+        rng = np.random.default_rng(12)
+        points = rng.uniform([0, -4, -3], [8, 4, 1], (300, 3)).astype(np.float32)
+        points = np.concatenate([points, np.zeros((300, 1), np.float32)], 1)
+        kw = dict(voxel_size=(0.5, 0.5, 0.5),
+                  point_cloud_range=(0.0, -4.0, -3.0, 8.0, 4.0, 1.0),
+                  max_points=4, max_voxels=1024)
+        a = voxelize(jnp.asarray(points), jnp.ones(300, bool), **kw)
+        b = voxelize(jnp.asarray(points), jnp.ones(300, bool),
+                     shuffle_overflow=True, **kw)
+        n = int(a["num_voxels"])
+        assert n == int(b["num_voxels"])
+
+        def key(c):
+            return c[:, 0] * 10000 + c[:, 1] * 100 + c[:, 2]
+        ao = np.argsort(key(np.asarray(a["coords"][:n])))
+        bo = np.argsort(key(np.asarray(b["coords"][:n])))
+        np.testing.assert_array_equal(np.asarray(a["coords"][:n])[ao],
+                                      np.asarray(b["coords"][:n])[bo])
+        np.testing.assert_allclose(np.asarray(a["voxels"][:n])[ao],
+                                   np.asarray(b["voxels"][:n])[bo], atol=0)
+
 
 class TestNMS:
     def test_suppresses_overlaps(self):
