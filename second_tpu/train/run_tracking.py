@@ -37,6 +37,17 @@ from ..utils.assignment import solve_frame_pair
 from ..utils.mot_metrics import MOTAccumulator
 
 
+def _det_keep_reward(det_logit, logit_threshold):
+    """Detection keep-reward for the joint assignment objective — the
+    reference's `determine_det` eval path (spatio `:1658-1671`): sigmoid
+    score, minus 1 for dets below threshold (negative reward: dropped unless
+    a strong link rescues them). Threshold is given in logit space for
+    backwards compatibility with the old hard gate (0.0 ⇒ p=0.5)."""
+    p = 1.0 / (1.0 + np.exp(-np.asarray(det_logit, np.float64)))
+    p_thr = 1.0 / (1.0 + np.exp(-float(logit_threshold)))
+    return p - (p < p_thr).astype(np.float64)
+
+
 class TrackingTrainer:
     """Trains the affinity net on (synthetic or KITTI) tracking sequences
     and evaluates CLEAR-MOT end-to-end."""
@@ -175,21 +186,32 @@ class TrackingTrainer:
             det_logit = np.asarray(out["det_logits"])
             feats = np.asarray(out["feats"])
             valid = arrays["det_valid"]
-            # detection gate: sigmoid(det) over threshold
-            keep = valid & (det_logit >= det_score_threshold)
+            # det keep-reward in the assignment objective (reference
+            # `determine_det`: sigmoid score, minus 1 below the threshold so
+            # weak dets are kept only when strong links rescue them)
+            reward = _det_keep_reward(det_logit, det_score_threshold)
 
             use_memory = tracker_kind == "memory"
             tracker = MemoryTracker() if use_memory else Tracker()
             frames_id, frames_det = [], []
             prev_keep = None
             for t in range(len(frames)):
-                kt = np.flatnonzero(keep[t])
                 if prev_keep is None:
+                    # no pair to solve: keep dets with positive reward
+                    kt = np.flatnonzero(valid[t] & (reward[t] > 0))
                     matches = np.zeros((0, 2), np.int64)
                 else:
-                    sub = link[t - 1][np.ix_(prev_keep, kt)]
-                    matches = solve_frame_pair(
-                        sub, end[t - 1][prev_keep], new[t - 1][kt])
+                    ct = np.flatnonzero(valid[t])
+                    sub = link[t - 1][np.ix_(prev_keep, ct)]
+                    matches, _, kept_cur = solve_frame_pair(
+                        sub, end[t - 1][prev_keep], new[t - 1][ct],
+                        det_scores_cur=reward[t][ct])
+                    kt = ct[kept_cur]
+                    # remap cur match indices from ct-space to kt-space
+                    pos_in_kt = np.cumsum(kept_cur) - 1
+                    matches = np.stack(
+                        [matches[:, 0], pos_in_kt[matches[:, 1]]],
+                        -1) if len(matches) else matches
                 if use_memory:
                     ids = tracker.step(matches, feats[t][kt])
                 else:
@@ -253,20 +275,27 @@ class TrackingTrainer:
                 end = np.asarray(out["end_logits"])
                 new = np.asarray(out["new_logits"])
                 det_logit = np.asarray(out["det_logits"])
-                keep = arrays["det_valid"][sl] & \
-                    (det_logit >= det_score_threshold)
+                valid_w = arrays["det_valid"][sl]
+                reward = _det_keep_reward(det_logit, det_score_threshold)
                 tracker = Tracker()
                 win_ids, win_dets = [], []
                 prev_keep = None
                 for t in range(w1 - w0):
-                    kt = np.flatnonzero(keep[t])
                     if prev_keep is None:
+                        kt = np.flatnonzero(valid_w[t] & (reward[t] > 0))
                         ids = tracker.step(np.zeros((0, 2), np.int64),
                                            len(kt))
                     else:
-                        sub = link[t - 1][np.ix_(prev_keep, kt)]
-                        matches = solve_frame_pair(
-                            sub, end[t - 1][prev_keep], new[t - 1][kt])
+                        ct = np.flatnonzero(valid_w[t])
+                        sub = link[t - 1][np.ix_(prev_keep, ct)]
+                        matches, _, kept_cur = solve_frame_pair(
+                            sub, end[t - 1][prev_keep], new[t - 1][ct],
+                            det_scores_cur=reward[t][ct])
+                        kt = ct[kept_cur]
+                        pos_in_kt = np.cumsum(kept_cur) - 1
+                        if len(matches):
+                            matches = np.stack(
+                                [matches[:, 0], pos_in_kt[matches[:, 1]]], -1)
                         ids = tracker.step(matches, len(kt))
                     boxes = arrays["det_boxes"][w0 + t][kt]
                     bev = box_np.center_to_minmax_2d(boxes[:, :2],

@@ -47,12 +47,33 @@ class MOTAccumulator:
         self.num_gt += len(gt_ids)
         dist = iou_distance(gt_boxes, dt_boxes, self._max_dist)
         matches = []
+        # CLEAR-MOT correspondence continuity (Bernardin & Stiefelhagen
+        # 2008 §III.B, and py-motmetrics MOTAccumulator): a (gt, track)
+        # correspondence from the previous frame is KEPT if still within
+        # the distance threshold, even when a fresh global assignment would
+        # prefer a closer pair — only the remainder goes to the Hungarian.
+        used_r, used_c = set(), set()
         if dist.size:
-            cost = np.where(np.isnan(dist), 1e6, dist)
-            rows, cols = linear_sum_assignment(cost)
-            for r, c in zip(rows, cols):
-                if not np.isnan(dist[r, c]):
-                    matches.append((r, c, dist[r, c]))
+            row_of = {g: i for i, g in enumerate(gt_ids)}
+            col_of = {d: j for j, d in enumerate(dt_ids)}
+            for gid in sorted(self._last_match):
+                r, c = row_of.get(gid), col_of.get(self._last_match[gid])
+                if (r is None or c is None or r in used_r or c in used_c
+                        or np.isnan(dist[r, c])):
+                    continue
+                matches.append((r, c, dist[r, c]))
+                used_r.add(r)
+                used_c.add(c)
+            rows_left = [r for r in range(len(gt_ids)) if r not in used_r]
+            cols_left = [c for c in range(len(dt_ids)) if c not in used_c]
+            if rows_left and cols_left:
+                cost = np.where(np.isnan(dist), 1e6, dist)
+                sub = cost[np.ix_(rows_left, cols_left)]
+                rr, cc = linear_sum_assignment(sub)
+                for r, c in zip(rr, cc):
+                    gr, gc = rows_left[r], cols_left[c]
+                    if not np.isnan(dist[gr, gc]):
+                        matches.append((gr, gc, dist[gr, gc]))
         matched_gt = {r for r, _, _ in matches}
         matched_dt = {c for _, c, _ in matches}
         self.fn += len(gt_ids) - len(matched_gt)

@@ -134,6 +134,58 @@ class TestAssignment:
         matches = greedy_solve(link)
         assert {tuple(m) for m in matches} == {(0, 0), (1, 1)}
 
+    def test_joint_det_drop_vs_rescue(self):
+        """Keep-variables (reference ortools_solve det_scores semantics).
+
+        Hand-solved instance: cur det 0 has reward -0.4 but a strong link
+        (2.0) rescues it (2.0 + 0 - 0.4 = 1.6 > end 0.1 + new path 0);
+        cur det 1 has reward -0.4, its best link is 0.2 and new score 0.1
+        (0.2-0.4 = -0.2 < 0 and 0.1-0.4 < 0) → dropped entirely.
+        """
+        link = np.array([[2.0, -1.0], [-1.0, 0.2]])
+        matches, kept_prev, kept_cur = solve_frame_pair(
+            link, end_scores=[0.1, 0.1], new_scores=[0.0, 0.1],
+            det_scores_prev=[0.9, 0.9], det_scores_cur=[-0.4, -0.4])
+        assert {tuple(m) for m in matches} == {(0, 0)}
+        assert kept_prev.tolist() == [True, True]   # prev1 kept via end
+        assert kept_cur.tolist() == [True, False]   # cur1 dropped
+        # exhaustive check on the same instance: enumerate all programs
+        best, best_val = None, -np.inf
+        import itertools as it
+        for l00, l11 in it.product([0, 1], repeat=2):
+            for e0, e1, n0, n1 in it.product([0, 1], repeat=4):
+                if l00 + e0 > 1 or l11 + e1 > 1:
+                    continue
+                if l00 + n0 > 1 or l11 + n1 > 1:
+                    continue
+                val = (l00 * (2.0 + 0.9 - 0.4) + l11 * (0.2 + 0.9 - 0.4)
+                       + e0 * (0.1 + 0.9) + e1 * (0.1 + 0.9)
+                       + n0 * (0.0 - 0.4) + n1 * (0.1 - 0.4))
+                if val > best_val:
+                    best_val, best = val, (l00, l11, e0, e1, n0, n1)
+        assert best == (1, 0, 0, 1, 0, 0)           # matches the solver
+
+    def test_joint_negative_prev_dropped(self):
+        """A prev det with a deeply negative keep reward is dropped (no end
+        charge) when its links are weak."""
+        link = np.array([[0.1]])
+        matches, kept_prev, kept_cur = solve_frame_pair(
+            link, end_scores=[0.5], new_scores=[0.5],
+            det_scores_prev=[-2.0], det_scores_cur=[0.8])
+        assert len(matches) == 0
+        assert kept_prev.tolist() == [False]        # 0.5 - 2.0 < 0 → drop
+        assert kept_cur.tolist() == [True]          # new: 0.5 + 0.8 > 0
+
+    def test_joint_without_det_scores_matches_legacy(self):
+        link = np.array([[5.0, -1.0], [-1.0, 4.0]])
+        legacy = solve_frame_pair(link, end_scores=[0.0, 0.0],
+                                  new_scores=[0.0, 0.0])
+        joint, kp, kc = solve_frame_pair(
+            link, end_scores=[0.0, 0.0], new_scores=[0.0, 0.0],
+            det_scores_prev=[0.0, 0.0], det_scores_cur=[0.0, 0.0])
+        assert {tuple(m) for m in joint} == {tuple(m) for m in legacy}
+        assert kp.all() and kc.all()
+
 
 class TestTracker:
     def test_id_continuity(self):
@@ -173,6 +225,52 @@ class TestMOT:
         assert s["fp"] == 1 and s["fn"] == 0
         acc.update([1], gt, [], np.zeros((0, 4)))
         assert acc.summary()["fn"] == 1
+
+    def test_clear_mot_hand_computed_three_frames(self):
+        """Full 3-frame scenario, every count hand-derived from the CLEAR-MOT
+        definitions (Bernardin & Stiefelhagen, EURASIP 2008):
+          MOTA = 1 − (FP + FN + IDSW) / num_gt,  MOTP = Σ dist / matches.
+
+        Frame 1: gt {g1@A, g2@B}; hyp {h1@A exact, h7 far away}
+                 → match (g1,h1,d=0); FN g2; FP h7.
+        Frame 2: gt {g1@A, g2@B}; hyp {h1@A shifted 0.1 (IoU 0.9/1.1),
+                 h2@B exact} → (g1,h1,d=1−0.9/1.1), (g2,h2,d=0).
+        Frame 3: gt same; hyp {h3@A exact, h2@B exact}
+                 → (g1,h3): ID SWITCH (g1 was h1); (g2,h2).
+        Totals: num_gt 6, FP 1, FN 1, IDSW 1, matches 5,
+                MOTA = 1 − 3/6 = 0.5, MOTP = (1 − 0.9/1.1)/5.
+        """
+        A = [0.0, 0.0, 1.0, 1.0]
+        B = [5.0, 5.0, 6.0, 6.0]
+        A_shift = [0.1, 0.0, 1.1, 1.0]
+        far = [20.0, 20.0, 21.0, 21.0]
+        acc = MOTAccumulator()
+        acc.update([1, 2], np.array([A, B]), [1, 7], np.array([A, far]))
+        acc.update([1, 2], np.array([A, B]), [1, 2], np.array([A_shift, B]))
+        acc.update([1, 2], np.array([A, B]), [3, 2], np.array([A, B]))
+        s = acc.summary()
+        assert s["num_gt"] == 6
+        assert s["fp"] == 1 and s["fn"] == 1 and s["id_switches"] == 1
+        assert s["num_matches"] == 5
+        np.testing.assert_allclose(s["mota"], 0.5)
+        np.testing.assert_allclose(s["motp"], (1.0 - 0.9 / 1.1) / 5,
+                                   rtol=1e-6)
+
+    def test_clear_mot_correspondence_continuity(self):
+        """§III.B of the CLEAR-MOT protocol: an existing (gt, track)
+        correspondence is kept while within the threshold even if a fresh
+        assignment would prefer a closer hypothesis — the closer newcomer
+        is an FP, NOT a switch (py-motmetrics behaves identically)."""
+        box = [0.0, 0.0, 2.0, 2.0]
+        near = [0.2, 0.0, 2.2, 2.0]   # IoU = 1.8·2 / (2·4−1.8·2) ≈ 0.82
+        acc = MOTAccumulator()
+        acc.update([1], np.array([box]), [10], np.array([box]))
+        # h11 sits exactly on gt but h10 (prior match) is still in range
+        acc.update([1], np.array([box]), [10, 11], np.array([near, box]))
+        s = acc.summary()
+        assert s["id_switches"] == 0
+        assert s["fp"] == 1                  # h11 left unmatched
+        assert s["num_matches"] == 2
 
 
 class TestSequenceInference:
