@@ -242,9 +242,33 @@ class Trainer:
             from .steps_multistage import make_temporal_steps
             self.train_step, self.eval_step = make_temporal_steps(
                 self.spec, self.vspec, self.eval_vspec)
+        # data-parallel TRAINING over the device mesh (the reference trains
+        # DDP, `train_new_re.py:162-171`): params/opt-state replicated,
+        # batch sharded on the `data` axis — XLA inserts the gradient
+        # all-reduce over ICI inside the already-jitted train step, so
+        # numerics are identical to the single-device program.
+        self._train_mesh = None
+        if jax.device_count() > 1 and \
+                self.cfg.train_input_reader.batch_size \
+                % jax.device_count() == 0:
+            self._setup_dp_train()
         self.ckpt = CheckpointManager(self.model_dir)
         self.logger = MetricsLogger(self.model_dir)
         self.timer = StageTimer()
+
+    def _setup_dp_train(self):
+        """Wrap the train step for the data-parallel mesh: each batch is
+        placed sharded on the leading axis before entering the jitted step
+        (state replication happens once in `_init_state`)."""
+        from ..parallel import make_mesh, shard_batch
+        mesh = make_mesh()
+        self._train_mesh = mesh
+        base_step = self.train_step
+
+        def dp_train_step(state, batch):
+            return base_step(state, shard_batch(batch, mesh))
+
+        self.train_step = dp_train_step
 
     def _setup_dp_eval(self):
         """Replace eval_step with the mesh-sharded variant: batch sharded
@@ -307,6 +331,9 @@ class Trainer:
         if restored is not None:
             state = restored
             print(f"restored checkpoint at step {int(state.step)}")
+        if self._train_mesh is not None:
+            from ..parallel import replicate_state
+            state = replicate_state(state, self._train_mesh)
         return state
 
     # -- loops -------------------------------------------------------------

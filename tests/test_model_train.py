@@ -249,3 +249,42 @@ class TestDataParallelEval:
         detail = trainer.evaluate(state, max_frames=8)
         assert any("/3d" in k for k in detail)
         assert trainer._last_eval_stats["num_detections"] >= 0
+
+    @pytest.mark.slow
+    def test_trainer_dp_train_path(self, tmp_path):
+        """CLI DP TRAINING: with batch_size divisible by device count the
+        Trainer builds the data mesh, replicates state, shards batches, and
+        its per-step loss matches a single-device Trainer consuming the
+        identical data stream (same seed) — the DDP parity the reference
+        gets from torch DDP (`train_new_re.py:162-171`)."""
+        from second_tpu.testing import TINY_PIPELINE
+        from second_tpu.train.run import Trainer
+        cfg_path = tmp_path / "tiny.config"
+        cfg_path.write_text(TINY_PIPELINE)
+
+        def one_step_loss(model_dir, extra_patches):
+            trainer = Trainer(cfg_path, model_dir, synthetic=True,
+                              dataset_size=8, max_points=2000,
+                              patches=["train_input_reader.batch_size=8",
+                                       *extra_patches])
+            rng = np.random.default_rng(0)
+            batch = next(trainer._batch_iter(8, rng))
+            state = trainer._init_state(batch)
+            _, metrics = trainer.train_step(state, batch)
+            return trainer, float(metrics["loss"])
+
+        dp_trainer, dp_loss = one_step_loss(tmp_path / "dp", [])
+        assert dp_trainer._train_mesh is not None
+        assert dp_trainer._train_mesh.size == jax.device_count()
+        # batch size 9 is indivisible by 8 → single-device path
+        sd_trainer, _ = one_step_loss(
+            tmp_path / "sd", ["train_input_reader.batch_size=9"])
+        assert sd_trainer._train_mesh is None
+        # loss identity: rebuild the same batch and step it single-device
+        rng = np.random.default_rng(0)
+        batch = next(sd_trainer._batch_iter(8, rng))
+        from second_tpu.train import make_train_step
+        step = make_train_step(sd_trainer.spec, sd_trainer.vspec)
+        state = sd_trainer._init_state(batch)
+        _, m = step(state, batch)
+        np.testing.assert_allclose(dp_loss, float(m["loss"]), rtol=1e-4)
