@@ -38,6 +38,10 @@ class PrepConfig:
     image_shape: tuple = (384, 1248)     # fixed (H, W) canvas, padded
     image_stride: int = 8                # P3 feature stride
     out_stride: int = 8                  # BEV feature-map stride
+    # per-z-slice BEV→P3 projection grids (`idxs_norm`, the
+    # RPN_SECOND_FUSION / temporal-fusion contract, reference rpn.py:593,616)
+    use_zslice: bool = False
+    num_z_slices: int = 4
 
 
 class ExamplePrep:
@@ -156,8 +160,41 @@ class ExamplePrep:
                 padded, mask, rect, Trv2c, P2, img_hw,
                 cfg.pc_range, cfg.voxel_size, cfg.out_stride, self._bev_hw,
                 image_stride=cfg.image_stride)
-        return {"image": image, "proj_pix": pix, "proj_bev": bev,
-                "proj_valid": valid}
+        out = {"image": image, "proj_pix": pix, "proj_bev": bev,
+               "proj_valid": valid}
+        if cfg.use_zslice:
+            out.update(self._zslice_inputs(scene, img))
+        return out
+
+    def _zslice_inputs(self, scene: Dict, img) -> Dict:
+        """Per-z-slice BEV-cell→P3-pixel grids (`idxs_norm`/`idxs_valid`).
+        Depends only on the calibration, so results are cached per calib."""
+        from ..models.fusion import compute_bev_zslice_projection
+        cfg = self._prep
+        D = cfg.num_z_slices
+        H, W = self._bev_hw
+        rect = scene.get("calib/R0_rect")
+        Trv2c = scene.get("calib/Tr_velo_to_cam")
+        P2 = scene.get("calib/P2")
+        if rect is None or Trv2c is None or P2 is None:
+            return {"idxs_norm": np.zeros((D, H, W, 2), np.float32),
+                    "idxs_valid": np.zeros((D, H, W), bool)}
+        img_hw = (scene.get("img_shape") or cfg.image_shape)[:2] if \
+            img is None else img.shape[:2]
+        key = (np.asarray(rect).tobytes(), np.asarray(Trv2c).tobytes(),
+               np.asarray(P2).tobytes(), tuple(img_hw))
+        cache = getattr(self, "_zslice_cache", None)
+        if cache is None:
+            cache = self._zslice_cache = {}
+        if key not in cache:
+            if len(cache) > 64:     # bound memory on varied-calib datasets
+                cache.clear()
+            cache[key] = compute_bev_zslice_projection(
+                rect, Trv2c, P2, img_hw, cfg.pc_range,
+                cfg.voxel_size, cfg.out_stride, (H, W), D,
+                image_stride=cfg.image_stride)
+        idxs, valid = cache[key]
+        return {"idxs_norm": idxs, "idxs_valid": valid}
 
     def collate(self, examples: List[Dict]) -> Dict:
         """Stack examples + broadcast the anchor cache."""
@@ -165,7 +202,7 @@ class ExamplePrep:
         for key in ("points", "points_mask", "p_points", "p_points_mask",
                     "labels", "reg_targets", "gt_boxes_padded", "gt_valid",
                     "anchors_mask", "image", "proj_pix", "proj_bev",
-                    "proj_valid"):
+                    "proj_valid", "idxs_norm", "idxs_valid"):
             if key in examples[0]:
                 batch[key] = np.stack([e[key] for e in examples])
         batch["anchors"] = np.broadcast_to(

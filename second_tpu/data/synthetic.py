@@ -275,9 +275,12 @@ class SyntheticPairDataset:
     """Synthetic (cur, prev) frame pairs for the temporal model — the stand-in
     for the KITTI-tracking dataset's `p_*` example keys."""
 
-    def __init__(self, size=128, seed=0, **seq_kwargs):
+    def __init__(self, size=128, seed=0, with_image=False,
+                 image_shape=(192, 624), **seq_kwargs):
         self._size = size
         self._seed = seed
+        self._with_image = with_image
+        self._image_shape = tuple(image_shape)
         self._kwargs = seq_kwargs
 
     def __len__(self):
@@ -286,7 +289,7 @@ class SyntheticPairDataset:
     def __getitem__(self, idx):
         rng = np.random.default_rng(self._seed * 99991 + idx)
         prev, cur = sample_sequence(rng, num_frames=2, **self._kwargs)
-        return {
+        scene = {
             "points": cur["points"],
             "gt_boxes": cur["gt_boxes"],
             "gt_names": cur["gt_names"],
@@ -296,3 +299,14 @@ class SyntheticPairDataset:
             "image_idx": idx,
             "calib": None,
         }
+        if self._with_image:
+            # current-frame camera (the spatio fusion RPN consumes only the
+            # current frame's image, reference spatio :712-716)
+            rect, velo2cam, P2 = synthetic_calib(self._image_shape)
+            scene["image"] = render_synthetic_image(
+                cur["points"], self._image_shape, rect, velo2cam, P2)
+            scene["img_shape"] = self._image_shape
+            scene["calib/R0_rect"] = rect
+            scene["calib/Tr_velo_to_cam"] = velo2cam
+            scene["calib/P2"] = P2
+        return scene

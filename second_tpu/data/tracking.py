@@ -74,9 +74,11 @@ class KittiTrackingSequence:
     root/velodyne/SSSS/FFFFFF.bin, root/label_02/SSSS.txt,
     root/calib/SSSS.txt."""
 
-    def __init__(self, root, seq: str, tracked_classes=("Car", "Van")):
+    def __init__(self, root, seq: str, tracked_classes=("Car", "Van"),
+                 load_image: bool = False):
         self.root = Path(root)
         self.name = seq
+        self.load_image = load_image
         self.tracked_classes = set(tracked_classes)
         self.calib = None
         calib_path = self.root / "calib" / f"{seq}.txt"
@@ -131,9 +133,21 @@ class KittiTrackingSequence:
             names = anno["name"][keep]
             ids = anno["track_ids"][keep]
             bbox = anno["bbox"][keep]
-        return {"points": points, "gt_boxes": gt_boxes, "gt_names": names,
-                "track_ids": ids, "gt_bbox2d": bbox, "frame_idx": frame,
-                "calib": self.calib}
+        out = {"points": points, "gt_boxes": gt_boxes, "gt_names": names,
+               "track_ids": ids, "gt_bbox2d": bbox, "frame_idx": frame,
+               "calib": self.calib}
+        if self.calib is not None:
+            for k in ("R0_rect", "Tr_velo_to_cam", "P2"):
+                if k in self.calib:
+                    out[f"calib/{k}"] = self.calib[k]
+        if self.load_image:
+            img_path = self.root / "image_02" / self.name / f"{frame:06d}.png"
+            if img_path.exists():
+                from PIL import Image
+                img = np.asarray(Image.open(img_path), np.float32) / 255.0
+                out["image"] = img
+                out["img_shape"] = img.shape[:2]
+        return out
 
 
 class KittiTrackingDataset:
@@ -225,7 +239,7 @@ class TrackingPairDataset:
         seq = self._seqs[s]
         cur = seq[t]
         prev = seq[t - 1] if t > 0 else cur
-        return {
+        out = {
             "points": cur["points"],
             "gt_boxes": cur["gt_boxes"],
             "gt_names": cur.get("gt_names",
@@ -234,8 +248,15 @@ class TrackingPairDataset:
             "p_points": prev["points"],
             "p_gt_boxes": prev["gt_boxes"],
             "image_idx": idx,
-            "calib": None,
+            "calib": cur.get("calib"),
         }
+        # camera keys for the temporal-fusion (spatio) model: only the
+        # CURRENT frame's image feeds the RPN (reference spatio :712-716)
+        for k in ("image", "img_shape", "calib/R0_rect",
+                  "calib/Tr_velo_to_cam", "calib/P2"):
+            if isinstance(cur, dict) and k in cur:
+                out[k] = cur[k]
+        return out
 
 
 # ---------------------------------------------------------------------------

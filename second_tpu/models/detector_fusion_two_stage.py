@@ -55,17 +55,22 @@ class FusionTwoStageVoxelNet(nn.Module):
                                  self.roi.voxel_size, self.roi.out_stride,
                                  self.roi.crop_size, self.roi.samples)
         B, N = bev_crops.shape[:2]
-        head = SecondStageHead(self.spec.num_class, self.spec.box_code_size,
-                               crop_size=self.roi.crop_size,
-                               name="second_rpn")
+        head = SecondStageHead(
+            self.spec.num_class, self.spec.box_code_size,
+            crop_size=self.roi.crop_size,
+            use_direction_classifier=self.spec.use_direction_classifier,
+            name="second_rpn")
         out = head(bev_crops.reshape(B * N, *bev_crops.shape[2:]),
                    concat_crops.reshape(B * N, *concat_crops.shape[2:]))
         second_box = out["box_preds"].reshape(B, N, self.spec.box_code_size)
         second_cls = out["cls_preds"].reshape(B, N, -1)
         second_box = second_box + proposals["box_enc"]
-        return {**stage1, "proposals": proposals,
-                "second_box_preds": second_box,
-                "second_cls_preds": second_cls}
+        result = {**stage1, "proposals": proposals,
+                  "second_box_preds": second_box,
+                  "second_cls_preds": second_cls}
+        if "dir_preds" in out:
+            result["second_dir_preds"] = out["dir_preds"].reshape(B, N, 2)
+        return result
 
 
 compute_fusion_two_stage_loss = compute_two_stage_loss

@@ -59,19 +59,25 @@ class TwoStageVoxelNet(nn.Module):
                           self.roi.samples)
         B, N = crops.shape[:2]
         flat = crops.reshape(B * N, *crops.shape[2:])
-        head = SecondStageHead(self.spec.num_class, self.spec.box_code_size,
-                               crop_size=self.roi.crop_size, name="second_rpn")
+        head = SecondStageHead(
+            self.spec.num_class, self.spec.box_code_size,
+            crop_size=self.roi.crop_size,
+            use_direction_classifier=self.spec.use_direction_classifier,
+            name="second_rpn")
         out = head(flat)
         second_box = out["box_preds"].reshape(B, N, self.spec.box_code_size)
         second_cls = out["cls_preds"].reshape(B, N, -1)
         # residual refinement in encoding space (reference spatio :870)
         second_box = second_box + proposals["box_enc"]
-        return {
+        result = {
             **stage1,
             "proposals": proposals,
             "second_box_preds": second_box,
             "second_cls_preds": second_cls,
         }
+        if "dir_preds" in out:
+            result["second_dir_preds"] = out["dir_preds"].reshape(B, N, 2)
+        return result
 
 
 def compute_two_stage_loss(spec: DetectorSpec, preds, labels, reg_targets,
@@ -79,9 +85,12 @@ def compute_two_stage_loss(spec: DetectorSpec, preds, labels, reg_targets,
     """(stage1 + stage2) / 2 (reference endtoend loss pattern)."""
     l1 = compute_loss(spec, preds, labels, reg_targets, anchors,
                       gt_boxes, gt_valid)
+    second_preds = {"box_preds": preds["second_box_preds"],
+                    "cls_preds": preds["second_cls_preds"]}
+    if "second_dir_preds" in preds:
+        second_preds["dir_preds"] = preds["second_dir_preds"]
     l2 = second_stage_loss(
-        spec, {"box_preds": preds["second_box_preds"],
-               "cls_preds": preds["second_cls_preds"]},
+        spec, second_preds,
         preds["proposals"], labels, reg_targets, anchors,
         gt_boxes, gt_valid)
     out = {**l1, **l2}
@@ -96,6 +105,12 @@ def predict_two_stage(spec: DetectorSpec, preds, anchors):
     take = jax.vmap(lambda a, i: a[i])
     sel_anchors = take(anchors, idx)
     boxes = box_ops.second_box_decode(preds["second_box_preds"], sel_anchors)
+    if spec.use_direction_classifier and "second_dir_preds" in preds:
+        # stage-2 direction flip, same rule as stage 1 (detector.predict)
+        dir_labels = preds["second_dir_preds"].argmax(-1)
+        opp = (boxes[..., -1] > 0) != (dir_labels > 0)
+        yaw = boxes[..., -1] + jnp.where(opp, jnp.pi, 0.0)
+        boxes = jnp.concatenate([boxes[..., :-1], yaw[..., None]], -1)
     scores = jax.nn.sigmoid(preds["second_cls_preds"])
     if scores.shape[-1] == 1:
         top_scores = scores[..., 0]

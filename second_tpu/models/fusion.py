@@ -225,6 +225,11 @@ class ZSliceFusionRPN(nn.Module):
     use_groupnorm: bool = False
     num_groups: int = 32
     bilinear: bool = False
+    # > 0: compress the D·256-channel z-slice stack with a trained 1×1 conv
+    # before exposing it as `gated_concat_feat` — keeps the second stage's
+    # 14×14 cls-tower crops MXU-tractable (D·256 input channels would put
+    # ~100+ GFLOP into the refine head at 512 proposals)
+    concat_features: int = 0
 
     @nn.compact
     def __call__(self, bev, image, idxs_norm, idxs_valid,
@@ -240,6 +245,9 @@ class ZSliceFusionRPN(nn.Module):
                                        self.bilinear)
                  for i in range(D)]
         crop_all = jnp.concatenate(crops, axis=-1)      # [B, H, W, D*C]
+        if self.concat_features:
+            crop_all = nn.Conv(self.concat_features, (1, 1),
+                               name="concat_compress")(crop_all)
 
         num_cls = self.num_anchor_per_loc * (
             self.num_class if self.encode_background_as_zeros

@@ -97,11 +97,15 @@ class SecondStageHead(nn.Module):
 
     With `concat_crops` (fusion/temporal variants) the cls tower consumes the
     fused crop, the reg tower the BEV crop (reference `rpn.py:733-742`).
+    With `use_direction_classifier` a per-ROI 2-way direction head runs on
+    the reg tower (the reference's stage-2 dir loss consumes
+    `second_preds_dict["dir_cls_preds"]`, spatio `:1016-1025`).
     """
     num_class: int = 1
     box_code_size: int = 7
     features: int = 128
     crop_size: int = 14
+    use_direction_classifier: bool = False
 
     @nn.compact
     def __call__(self, bev_crops, concat_crops=None):
@@ -114,7 +118,12 @@ class SecondStageHead(nn.Module):
                       name="conv_box_second")(reg)
         logit = nn.Conv(self.num_class, (k, k), padding="VALID",
                         name="conv_cls_second")(cls)
-        return {"box_preds": box[:, 0, 0, :], "cls_preds": logit[:, 0, 0, :]}
+        out = {"box_preds": box[:, 0, 0, :], "cls_preds": logit[:, 0, 0, :]}
+        if self.use_direction_classifier:
+            dirp = nn.Conv(2, (k, k), padding="VALID",
+                           name="conv_dir_second")(reg)
+            out["dir_preds"] = dirp[:, 0, 0, :]
+        return out
 
 
 def crop_rois(feat_map, proposal_boxes, pc_range, voxel_size, out_stride,
@@ -179,9 +188,25 @@ def second_stage_loss(spec: DetectorSpec, second_preds, proposals, labels,
                                   cls_weights)
     loc_loss = loc_losses.sum() / B * spec.loc_loss_weight
     cls_loss = cls_losses.sum() / B * spec.cls_loss_weight
-    return {
+    out = {
         "second_loc_loss_reduced": loc_loss,
         "second_cls_loss_reduced": cls_loss,
         "second_loss": loc_loss + cls_loss,
         "second_num_pos": (sel_labels > 0).sum(),
     }
+    if spec.use_direction_classifier and "dir_preds" in second_preds:
+        # stage-2 direction loss on the selected anchors (spatio :1016-1025)
+        sel_anchors = take(anchors, idx)
+        dir_targets = box_ops.get_direction_target(sel_anchors, sel_targets)
+        dtype = second_preds["box_preds"].dtype
+        weights = (sel_labels > 0).astype(dtype)
+        weights = weights / jnp.clip(weights.sum(-1, keepdims=True), 1.0,
+                                     None)
+        dir_one_hot = jax.nn.one_hot(dir_targets, 2, dtype=dtype)
+        dir_loss = loss_lib.weighted_softmax_loss(
+            second_preds["dir_preds"], dir_one_hot, weights)
+        dir_loss = dir_loss.sum() / B
+        out["second_dir_loss_reduced"] = dir_loss
+        out["second_loss"] = out["second_loss"] + \
+            dir_loss * spec.direction_loss_weight
+    return out

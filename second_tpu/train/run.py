@@ -98,11 +98,14 @@ def apply_config_patches(cfg, patches):
 class Trainer:
     def __init__(self, config_path, model_dir, synthetic=False,
                  dataset_size=256, max_points=20000, total_steps=None,
-                 model_type="one_stage", patches=None):
+                 model_type="one_stage", patches=None, image_hw=None):
         assert model_type in ("one_stage", "two_stage", "temporal",
-                              "fusion", "fusion_two_stage")
+                              "fusion", "fusion_two_stage",
+                              "temporal_fusion")
         self.model_type = model_type
-        self.use_fusion = model_type in ("fusion", "fusion_two_stage")
+        self.use_fusion = model_type in ("fusion", "fusion_two_stage",
+                                         "temporal_fusion")
+        self.use_zslice = model_type == "temporal_fusion"
         self.cfg = apply_config_patches(load_pipeline_config(config_path),
                                         patches)
         self.model_dir = pathlib.Path(model_dir)
@@ -128,6 +131,10 @@ class Trainer:
                 build_fusion_two_stage_voxelnet
             (self.module, self.spec, self.info, self.assigner,
              self.coder) = build_fusion_two_stage_voxelnet(self.cfg.model)
+        elif model_type == "temporal_fusion":
+            from ..models.temporal import build_temporal_fusion_voxelnet
+            (self.module, self.spec, self.info, self.assigner,
+             self.coder) = build_temporal_fusion_voxelnet(self.cfg.model)
         else:
             from ..models.temporal import build_temporal_voxelnet
             (self.module, self.spec, self.info, self.assigner,
@@ -147,10 +154,12 @@ class Trainer:
             self.cfg.eval_input_reader.max_number_of_voxels
             or self.cfg.train_input_reader.max_number_of_voxels)
         vg = self.cfg.model.voxel_generator
-        self.image_shape = (192, 624) if synthetic else (384, 1248)
+        self.image_shape = tuple(image_hw) if image_hw else (
+            (192, 624) if synthetic else (384, 1248))
         fusion_kwargs = dict(use_fusion=self.use_fusion,
                              image_shape=self.image_shape,
-                             out_stride=self.info.out_size_factor)
+                             out_stride=self.info.out_size_factor,
+                             use_zslice=self.use_zslice)
         self.prep = ExamplePrep(
             self.assigner, self.info.feature_map_size,
             PrepConfig(max_points=max_points,
@@ -174,12 +183,15 @@ class Trainer:
         self.synthetic = synthetic
         if synthetic:
             pc_range = tuple(self.cfg.model.voxel_generator.point_cloud_range)
-            if model_type == "temporal":
+            if model_type in ("temporal", "temporal_fusion"):
                 from ..data.synthetic import SyntheticPairDataset
+                pair_kwargs = dict(pc_range=pc_range,
+                                   with_image=self.use_zslice,
+                                   image_shape=self.image_shape)
                 self.train_ds = SyntheticPairDataset(dataset_size, seed=1,
-                                                     pc_range=pc_range)
+                                                     **pair_kwargs)
                 self.eval_ds = SyntheticPairDataset(max(32, dataset_size // 8),
-                                                    seed=2, pc_range=pc_range)
+                                                    seed=2, **pair_kwargs)
             else:
                 # scan geometry (not uniform scatter): realistic voxel
                 # occupancy and sparse-stage dilation
@@ -191,15 +203,17 @@ class Trainer:
                     max(32, dataset_size // 8), seed=2, pc_range=pc_range,
                     scan=True, with_image=self.use_fusion,
                     image_shape=self.image_shape)
-        elif model_type == "temporal":
+        elif model_type in ("temporal", "temporal_fusion"):
             # KITTI tracking-benchmark sequences → (cur, prev) frame pairs
-            # (reader root = the tracking split dir, label_02/velodyne/calib)
+            # (reader root = the tracking split dir, label_02/velodyne/calib;
+            # temporal_fusion also loads image_02 frames for the camera RPN)
             from ..data.tracking import (KittiTrackingDataset,
                                          TrackingPairDataset)
+            seq_kwargs = dict(load_image=self.use_zslice)
             self.train_ds = TrackingPairDataset(KittiTrackingDataset(
-                self.cfg.train_input_reader.kitti_root_path))
+                self.cfg.train_input_reader.kitti_root_path, **seq_kwargs))
             self.eval_ds = TrackingPairDataset(KittiTrackingDataset(
-                self.cfg.eval_input_reader.kitti_root_path))
+                self.cfg.eval_input_reader.kitti_root_path, **seq_kwargs))
         else:
             from ..data.kitti_dataset import KittiDataset
             self.train_ds = KittiDataset(
@@ -237,6 +251,10 @@ class Trainer:
         elif model_type == "fusion_two_stage":
             from .steps_multistage import make_fusion_two_stage_steps
             self.train_step, self.eval_step = make_fusion_two_stage_steps(
+                self.spec, self.vspec, self.eval_vspec)
+        elif model_type == "temporal_fusion":
+            from .steps_multistage import make_temporal_fusion_steps
+            self.train_step, self.eval_step = make_temporal_fusion_steps(
                 self.spec, self.vspec, self.eval_vspec)
         else:
             from .steps_multistage import make_temporal_steps
@@ -317,7 +335,7 @@ class Trainer:
             state = create_two_stage_state(self.module, self.tx,
                                            jax.random.PRNGKey(0), self.vspec,
                                            batch)
-        elif self.use_fusion:
+        elif self.use_fusion and self.model_type != "temporal_fusion":
             from .steps_multistage import create_fusion_state
             state = create_fusion_state(
                 self.module, self.tx, jax.random.PRNGKey(0), self.vspec,
@@ -503,11 +521,15 @@ def main():
     parser.add_argument("--max_frames", type=int, default=None)
     parser.add_argument("--model_type", default="one_stage",
                         choices=["one_stage", "two_stage", "temporal",
-                                 "fusion", "fusion_two_stage"])
+                                 "fusion", "fusion_two_stage",
+                                 "temporal_fusion"])
     parser.add_argument("--patchs", action="append", default=None,
                         metavar="PATH=VALUE",
                         help="runtime config patch, repeatable "
                              "(e.g. --patchs train_config.steps=100)")
+    parser.add_argument("--image_hw", type=int, nargs=2, default=None,
+                        metavar=("H", "W"),
+                        help="camera canvas override for fusion model types")
     parser.add_argument("--profile_steps", type=int, default=0,
                         help="capture a jax.profiler trace of the first N "
                              "train steps into model_dir/profile")
@@ -515,7 +537,7 @@ def main():
     trainer = Trainer(args.config_path, args.model_dir, args.synthetic,
                       args.dataset_size, args.max_points,
                       total_steps=args.steps, model_type=args.model_type,
-                      patches=args.patchs)
+                      patches=args.patchs, image_hw=args.image_hw)
     if args.command == "train":
         trainer.train(args.steps, profile_steps=args.profile_steps)
     else:

@@ -146,6 +146,63 @@ def _fusion_args(batch):
             batch["proj_valid"])
 
 
+def make_temporal_fusion_steps(spec: DetectorSpec, vspec: VoxelizeSpec,
+                               eval_vspec: VoxelizeSpec = None):
+    """(train_step, eval_step) for TemporalFusionVoxelNet — the full spatio
+    model: two voxelized LiDAR frames + current-frame camera inputs
+    (`image`, per-z-slice `idxs_norm`/`idxs_valid`)."""
+    eval_vspec = eval_vspec or vspec
+
+    def forward(params, batch_stats, apply_fn, batch, train):
+        vs = vspec if train else eval_vspec
+        cur = device_voxelize(vs, batch["points"], batch["points_mask"])
+        prev = device_voxelize(vs, batch["p_points"],
+                               batch["p_points_mask"])
+        keys = ("voxels", "num_points", "coordinates", "voxel_valid")
+        cur = {k: cur[k] for k in keys}
+        prev = {k: prev[k] for k in keys}
+        variables = {"params": params, "batch_stats": batch_stats}
+        mask = batch.get("anchors_mask")
+        args = (cur, prev, batch["image"], batch["idxs_norm"],
+                batch["idxs_valid"], batch["anchors"])
+        if train:
+            return apply_fn(variables, *args, train=True, anchors_mask=mask,
+                            mutable=["batch_stats"])
+        return apply_fn(variables, *args, train=False,
+                        anchors_mask=mask), None
+
+    def loss_fn(params, batch_stats, apply_fn, batch):
+        preds, mutated = forward(params, batch_stats, apply_fn, batch, True)
+        loss_dict = compute_two_stage_loss(
+            spec, preds, batch["labels"], batch["reg_targets"],
+            batch["anchors"], batch.get("gt_boxes_padded"),
+            batch.get("gt_valid"))
+        return loss_dict["loss"], (loss_dict, mutated["batch_stats"])
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Dict):
+        (loss, (aux, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                   state.apply_fn, batch)
+        updates, new_opt = state.tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        m = _metrics(loss, aux, grads)
+        if "second_dir_loss_reduced" in aux:
+            m["second_dir_loss"] = aux["second_dir_loss_reduced"]
+        return new_state, m
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: Dict):
+        preds, _ = forward(state.params, state.batch_stats, state.apply_fn,
+                           batch, False)
+        return predict_two_stage(spec, preds, batch["anchors"])
+
+    return train_step, eval_step
+
+
 def make_fusion_steps(spec: DetectorSpec, vspec: VoxelizeSpec,
                       eval_vspec: VoxelizeSpec = None):
     """(train_step, eval_step) for the one-stage FusionVoxelNet — batches
@@ -310,9 +367,12 @@ def create_temporal_state(module, tx, rng, vspec, example_batch):
     prev = device_voxelize(vspec, example_batch["p_points"],
                            example_batch["p_points_mask"])
     keys = ("voxels", "num_points", "coordinates", "voxel_valid")
-    variables = module.init(rng, {k: cur[k] for k in keys},
-                            {k: prev[k] for k in keys},
-                            example_batch["anchors"], train=False)
+    args = ({k: cur[k] for k in keys}, {k: prev[k] for k in keys})
+    if "idxs_norm" in example_batch:    # temporal_fusion: camera inputs
+        args = args + (example_batch["image"], example_batch["idxs_norm"],
+                       example_batch["idxs_valid"])
+    variables = module.init(rng, *args, example_batch["anchors"],
+                            train=False)
     params = variables["params"]
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       batch_stats=variables.get("batch_stats", {}),

@@ -92,6 +92,81 @@ class TestTemporalDetector:
         assert "bev_fusion" in grads
 
 
+@pytest.mark.slow           # compiles the FPN-18 + two-frame backbone on CPU
+class TestTemporalFusionDetector:
+    """The COMPLETE spatio model (VERDICT item 3): camera branch inside the
+    temporal detector, dual-crop second stage, stage-2 direction loss."""
+
+    @pytest.fixture(scope="class")
+    def setup(self):
+        import optax
+        from second_tpu.testing import tiny_pipeline_config
+        from second_tpu.models.temporal import build_temporal_fusion_voxelnet
+        from second_tpu.train.state import VoxelizeSpec
+        from second_tpu.train.steps_multistage import (
+            create_temporal_state, make_temporal_fusion_steps)
+        from second_tpu.data import ExamplePrep, PrepConfig
+        from second_tpu.data.synthetic import SyntheticPairDataset
+
+        cfg = tiny_pipeline_config()
+        module, spec, info, assigner, _ = build_temporal_fusion_voxelnet(
+            cfg.model, num_proposals=16)
+        vg = cfg.model.voxel_generator
+        vspec = VoxelizeSpec.from_config(vg, 512)
+        img_shape = (48, 96)
+        prep = ExamplePrep(
+            assigner, info.feature_map_size,
+            PrepConfig(max_points=2000, training=True, use_fusion=True,
+                       use_zslice=True, image_shape=img_shape,
+                       out_stride=info.out_size_factor,
+                       voxel_size=tuple(vg.voxel_size),
+                       pc_range=tuple(vg.point_cloud_range)))
+        ds = SyntheticPairDataset(2, seed=0, with_image=True,
+                                  image_shape=img_shape,
+                                  pc_range=tuple(vg.point_cloud_range))
+        rng = np.random.default_rng(0)
+        batch = {k: jnp.asarray(v) for k, v in
+                 prep.collate([prep(ds[i], rng) for i in range(2)]).items()
+                 if k != "image_idx"}
+        train_step, eval_step = make_temporal_fusion_steps(spec, vspec)
+        state = create_temporal_state(module, optax.adam(2e-3),
+                                      jax.random.PRNGKey(0), vspec, batch)
+        return dict(batch=batch, state=state, train_step=train_step,
+                    eval_step=eval_step, spec=spec)
+
+    def test_prep_emits_zslice_keys(self, setup):
+        batch = setup["batch"]
+        assert batch["idxs_norm"].ndim == 5      # [B, D, H, W, 2]
+        assert batch["idxs_valid"].ndim == 4
+        assert bool(batch["idxs_valid"].any()), \
+            "no BEV cell projected into the image"
+
+    def test_cls_tower_consumes_concat_crops(self, setup):
+        """The reference second stage crops BOTH maps: reg tower on
+        gated_bev_feat, cls tower on gated_concat_feat (spatio :814-826)."""
+        params = setup["state"].params["second_rpn"]
+        reg_in = params["reg_tower"]["Conv_0"]["kernel"].shape[2]
+        cls_in = params["cls_tower"]["Conv_0"]["kernel"].shape[2]
+        assert cls_in == 256        # compressed z-slice concat channels
+        assert reg_in == 32         # BEV trunk channels (2 × 16 upsample)
+        assert cls_in != reg_in
+        # stage-2 direction head exists (spatio :1016-1025)
+        assert "conv_dir_second" in params
+
+    def test_train_descends_with_stage2_dir_loss(self, setup):
+        state = setup["state"]
+        losses = []
+        for _ in range(6):
+            state, metrics = setup["train_step"](state, dict(setup["batch"]))
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]
+        assert "second_dir_loss" in metrics
+        assert np.isfinite(float(metrics["second_dir_loss"]))
+        det = setup["eval_step"](state, dict(setup["batch"]))
+        assert det["boxes"].shape[-1] == 7
+
+
 class TestTrackNet:
     def test_shapes_and_affinity(self):
         mod = TrackNet(feature_dim=64)
