@@ -1,6 +1,10 @@
-"""Micro-benchmarks of the sparse-conv building blocks on the real chip:
-sort, dedup (downsample_coords), lookup_many, the 27-way gather, and the
-rulebook einsum — to attribute the fhd middle cost."""
+"""Micro-timing of the sparse-middle building blocks on the real TPU chip.
+
+Times each primitive at the fhd eval capacities (N=40960 input, stage caps
+per FHD_CAP_FACTORS) to locate where the vfe+middle segment's time goes.
+Every timed call is forced with a host fetch (NOTES.md: block_until_ready
+doesn't sync on the tunneled runtime).
+"""
 
 import os
 import sys
@@ -13,31 +17,31 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 import numpy as np
 
-B = 4
-N = 16000
-C = 64
-ITERS = 10
+ITERS = int(os.environ.get("BENCH_ITERS", "10"))
+B = int(os.environ.get("BENCH_BATCH", "4"))
 
 
-def scalarize(fn):
-    """Wrap fn so the jitted computation reduces every output to one scalar
-    in-graph — the tunnel host-fetch must move O(1) bytes."""
-    def wrapped(*args):
-        out = fn(*args)
-        leaves = jax.tree.leaves(out)
-        return sum(jnp.sum(l.astype(jnp.float32)) if l.dtype != jnp.bool_
-                   else jnp.sum(l) for l in leaves)
-    return jax.jit(wrapped)
+def _digest(out):
+    """Scalar digest so the host fetch is tiny (the tunnel moves ~30 MB/s —
+    fetching a real output would swamp the measurement) while a strided sum
+    defeats XLA simplifications like sum∘sort → sum."""
+    leaves = jax.tree.leaves(out)
+    acc = 0.0
+    for leaf in leaves:
+        acc = acc + leaf.reshape(-1)[::257].astype(jnp.float32).sum()
+    return acc
 
 
-def timed(fn, *args):
-    out = fn(*args)
+def timed(name, fn, *args):
+    g = jax.jit(lambda *a: _digest(fn(*a)))
+    out = g(*args)
     np.asarray(out)
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = fn(*args)
-        np.asarray(out)
-    return (time.perf_counter() - t0) / ITERS
+        np.asarray(g(*args))
+    dt = (time.perf_counter() - t0) / ITERS
+    print(f"{name:34s}: {dt*1e3:8.2f} ms")
+    return dt
 
 
 import jax
@@ -45,74 +49,116 @@ import jax.numpy as jnp
 
 from second_tpu.ops import sparse_conv as sp
 
-GRID = (41, 1600, 1408)
+GRID0 = (41, 1600, 1408)
+
+
+def make_active(rng, n_occ, cap, grid):
+    """Sorted active set with n_occ occupied of `cap` capacity."""
+    D, H, W = grid
+    # scan-like occupancy: cluster in a z-band
+    z = rng.integers(0, min(D, 12), n_occ)
+    y = rng.integers(0, H, n_occ)
+    x = rng.integers(0, W, n_occ)
+    keys = np.unique((z * H + y) * W + x)
+    n = len(keys)
+    ksort = np.full(cap, D * H * W, np.int64)
+    ksort[:n] = keys
+    coords = np.zeros((cap, 3), np.int32)
+    coords[:n, 0] = keys[:n] // (H * W)
+    coords[:n, 1] = (keys[:n] // W) % H
+    coords[:n, 2] = keys[:n] % W
+    valid = np.arange(cap) < n
+    return (jnp.asarray(coords), jnp.asarray(ksort, jnp.int32),
+            jnp.asarray(valid))
 
 
 def main():
     rng = np.random.default_rng(0)
-    coords = np.stack([rng.integers(0, g, (B, N)) for g in GRID],
-                      -1).astype(np.int32)
-    feats = rng.normal(size=(B, N, C)).astype(np.float32)
-    valid = np.ones((B, N), bool)
-    coords, feats, valid = map(jnp.asarray, (coords, feats, valid))
+    caps = [40960, 30720, 15360, 10240]
+    occ = [27800, 23000, 11000, 4500]
+    C = [16, 32, 64, 64]
 
-    sort = jax.jit(jax.vmap(lambda c, f, v: sp.sort_active(c, f, v, GRID)))
-    sc, sf, sv, sk = sort(coords, feats, valid)
-    sort_s = scalarize(jax.vmap(lambda c, f, v: sp.sort_active(c, f, v, GRID)))
-    t_sort = timed(sort_s, coords, feats, valid)
-    print(f"sort_active [B{B} x {N}]          : {t_sort*1e3:8.2f} ms")
+    # build per-stage batched active sets
+    stages = []
+    grid = GRID0
+    for si, (cap, n) in enumerate(zip(caps, occ)):
+        cs, ks, vs = [], [], []
+        for b in range(B):
+            c, k, v = make_active(np.random.default_rng(b * 7 + si), n, cap,
+                                  grid)
+            cs.append(c)
+            ks.append(k)
+            vs.append(v)
+        coords = jnp.stack(cs)
+        keys = jnp.stack(ks)
+        valid = jnp.stack(vs)
+        feats = jnp.asarray(
+            np.random.default_rng(si).normal(0, 1, (B, cap, C[si])),
+            jnp.bfloat16)
+        stages.append((coords, keys, valid, feats, grid))
+        grid = tuple((np.array(grid) + 2 - 3) // 2 + 1)
 
-    # plain key sort of the dedup candidate size (8N)
-    cand = jnp.asarray(rng.integers(0, 2**25, (B, 8 * N)).astype(np.int32))
-    ksort = scalarize(lambda k: jnp.sort(k, axis=-1))
-    t_ksort = timed(ksort, cand)
-    print(f"jnp.sort [B{B} x {8*N}] int32     : {t_ksort*1e3:8.2f} ms")
+    # 1. big sort (downsample candidate dedup): 8N int32
+    for si in (0, 1):
+        cap = caps[si]
+        arr = jnp.asarray(
+            np.random.default_rng(3).integers(0, 2**30, (B, 8 * cap)),
+            jnp.int32)
+        timed(f"sort 8x{cap} (stage{si})", jax.jit(
+            lambda a: jnp.sort(a, axis=-1)), arr)
 
-    down = scalarize(jax.vmap(lambda c, v: sp.downsample_coords(
-        c, v, GRID, (3, 3, 3), (2, 2, 2), (1, 1, 1), N)[:3]))
-    t_down = timed(down, sc, sv)
-    print(f"downsample_coords (dedup)        : {t_down*1e3:8.2f} ms")
+    # 2. lookup_rank [9, cap] per stage
+    for si in range(4):
+        coords, keys, valid, feats, grid = stages[si]
+        qk = jnp.where(valid, keys, keys)          # [B, cap] reuse keys
+        q9 = jnp.broadcast_to(qk[:, None, :], (B, 9, caps[si]))
 
-    # lookup_many with the 27 subm query sets
-    import itertools
-    offs = np.array(list(itertools.product((-1, 0, 1), repeat=3)), np.int32)
-    grid_np = np.array(GRID, np.int32)
-    sen = sp.sentinel(GRID)
+        def f(keys, q9):
+            return jax.vmap(sp.lookup_rank)(keys, q9)
+        timed(f"lookup_rank 9x{caps[si]} (s{si}, C{C[si]})", jax.jit(f),
+              keys, q9)
 
-    def queries(c, k, v):
-        qks, inbs = [], []
-        for o in range(27):
-            nc = c + offs[o]
-            inb = ((nc >= 0) & (nc < grid_np)).all(-1) & v
-            qks.append(jnp.where(inb, sp.linearize(nc, GRID), sen))
-            inbs.append(inb)
-        return jnp.stack(qks), jnp.stack(inbs)
+    # 3. gather_taps (full submanifold tap gather) per stage
+    for si in range(4):
+        coords, keys, valid, feats, grid = stages[si]
 
-    lookup = jax.jit(jax.vmap(
-        lambda c, k, v: sp.lookup_many(k, *queries(c, k, v))))
-    idx, found = lookup(sc, sk, sv)
-    lookup_s = scalarize(jax.vmap(
-        lambda c, k, v: sp.lookup_many(k, *queries(c, k, v))))
-    t_lookup = timed(lookup_s, sc, sk, sv)
-    print(f"query-build + lookup_many (27xN) : {t_lookup*1e3:8.2f} ms")
+        def g(feats, keys, coords, valid, grid=grid):
+            base = coords - np.array((1, 1, 1), np.int32)
+            return jax.vmap(lambda f, k, c, v: sp.gather_taps(
+                f, k, c, v, grid, (3, 3, 3)))(feats, keys, base, valid)
+        timed(f"gather_taps 27x{caps[si]} (s{si}, C{C[si]})", jax.jit(g),
+              feats, keys, coords, valid)
 
-    gather_fn = jax.vmap(
-        lambda f, i, fo: jnp.stack(
-            [jnp.where(fo[o][:, None], f[i[o]], 0.0) for o in range(27)]))
-    g = jax.jit(gather_fn)(sf, idx, found)
-    t_gather = timed(scalarize(gather_fn), sf, idx, found)
-    print(f"27-way feature gather [{N}x{C}]  : {t_gather*1e3:8.2f} ms")
+    # 4. full subm conv per stage
+    for si in range(4):
+        coords, keys, valid, feats, grid = stages[si]
+        w = jnp.asarray(np.random.default_rng(1).normal(
+            0, 0.1, (27, C[si], C[si])), jnp.bfloat16)
 
-    w = jnp.asarray(rng.normal(size=(27, C, C)).astype(np.float32))
-    einsum = scalarize(jax.vmap(lambda s: jnp.einsum(
-        "knc,kcd->nd", s, w, preferred_element_type=jnp.float32)))
-    t_einsum = timed(einsum, g)
-    print(f"rulebook einsum 27x{N}x{C}x{C}   : {t_einsum*1e3:8.2f} ms")
+        def h(feats, keys, coords, valid, w, grid=grid):
+            return jax.vmap(lambda f, c, k, v: sp.subm_conv3d(
+                f, c, k, v, grid, w))(feats, coords, keys, valid)
+        timed(f"subm_conv3d {caps[si]} (s{si}, C{C[si]})", jax.jit(h),
+              feats, keys, coords, valid, w)
 
-    conv = scalarize(jax.vmap(
-        lambda f, c, k, v: sp.subm_conv3d(f, c, k, v, GRID, w)))
-    t_conv = timed(conv, sf, sc, sk, sv)
-    print(f"full subm_conv3d (C{C})          : {t_conv*1e3:8.2f} ms")
+    # 5. downsample_coords (candidate gen + sort + dedup) stage0→1
+    coords, keys, valid, feats, grid = stages[0]
+
+    def d(coords, valid):
+        return jax.vmap(lambda c, v: sp.downsample_coords(
+            c, v, GRID0, (3, 3, 3), (2, 2, 2), (1, 1, 1), caps[1])[4]
+        )(coords, valid)
+    timed("downsample_coords s0->s1", jax.jit(d), coords, valid)
+
+    # 6. full sparse_conv3d stage0→1
+    w = jnp.asarray(np.random.default_rng(1).normal(0, 0.1, (27, 16, 32)),
+                    jnp.bfloat16)
+
+    def e(feats, coords, keys, valid, w):
+        return jax.vmap(lambda f, c, k, v: sp.sparse_conv3d(
+            f, c, k, v, GRID0, w, (3, 3, 3), (2, 2, 2), (1, 1, 1),
+            caps[1])[0])(feats, coords, keys, valid)
+    timed("sparse_conv3d s0->s1", jax.jit(e), feats, coords, keys, valid, w)
 
 
 if __name__ == "__main__":

@@ -54,6 +54,15 @@ class MaskedBatchNorm(nn.Module):
         return ((y * scale + bias) * m).astype(out_dtype)
 
 
+def stage_rulebook(coords, keys, valid, grid_dhw):
+    """Batched k=3 submanifold rulebook, built ONCE per stage and shared by
+    every submanifold conv over that stage's active set (spconv `indice_key`
+    reuse, reference `middle.py:464-505`)."""
+    return jax.vmap(
+        lambda c, k, v: sp.subm_rulebook(c, k, v, grid_dhw))(coords, keys,
+                                                             valid)
+
+
 class SubMBlock(nn.Module):
     """SubMConv3d(k=3) → masked BN → ReLU."""
     features: int
@@ -61,17 +70,20 @@ class SubMBlock(nn.Module):
     use_norm: bool = True
 
     @nn.compact
-    def __call__(self, feats, coords, keys, valid, train: bool = False):
+    def __call__(self, feats, coords, keys, valid, train: bool = False,
+                 rulebook=None):
         cin = feats.shape[-1]
         in_dtype = feats.dtype
         w = self.param("kernel", nn.initializers.variance_scaling(
             1.0, "fan_in", "normal"), (27, cin, self.features))
         bias = None if self.use_norm else self.param(
             "conv_bias", nn.initializers.zeros, (self.features,))
+        if rulebook is None:
+            rulebook = stage_rulebook(coords, keys, valid, self.grid_dhw)
         conv = jax.vmap(
-            lambda f, c, k, v: sp.subm_conv3d(f, c, k, v, self.grid_dhw, w,
-                                              bias))
-        out = conv(feats, coords, keys, valid)
+            lambda f, c, k, v, rs, rsel: sp.subm_conv3d(
+                f, c, k, v, self.grid_dhw, w, bias, rulebook=(rs, rsel)))
+        out = conv(feats, coords, keys, valid, *rulebook)
         if self.use_norm:
             out = MaskedBatchNorm()(out, valid, train)
         return (nn.relu(out) * valid[..., None]).astype(in_dtype)
@@ -85,7 +97,8 @@ class SparseBasicBlock(nn.Module):
     use_norm: bool = True
 
     @nn.compact
-    def __call__(self, feats, coords, keys, valid, train: bool = False):
+    def __call__(self, feats, coords, keys, valid, train: bool = False,
+                 rulebook=None):
         cin = feats.shape[-1]
         in_dtype = feats.dtype
         residual = feats
@@ -93,15 +106,17 @@ class SparseBasicBlock(nn.Module):
             w0 = self.param("proj", nn.initializers.variance_scaling(
                 1.0, "fan_in", "normal"), (cin, self.features))
             residual = feats @ w0.astype(in_dtype)
+        if rulebook is None:
+            rulebook = stage_rulebook(coords, keys, valid, self.grid_dhw)
         out = feats
         for i in range(2):
             cin_i = out.shape[-1]
             w = self.param(f"kernel{i}", nn.initializers.variance_scaling(
                 1.0, "fan_in", "normal"), (27, cin_i, self.features))
             conv = jax.vmap(
-                lambda f, c, k, v: sp.subm_conv3d(f, c, k, v, self.grid_dhw,
-                                                  w))
-            out = conv(out, coords, keys, valid)
+                lambda f, c, k, v, rs, rsel: sp.subm_conv3d(
+                    f, c, k, v, self.grid_dhw, w, rulebook=(rs, rsel)))
+            out = conv(out, coords, keys, valid, *rulebook)
             if self.use_norm:
                 out = MaskedBatchNorm()(out, valid, train)
             if i == 0:
@@ -119,7 +134,8 @@ class SparseBottleneck(nn.Module):
     expansion: int = 4
 
     @nn.compact
-    def __call__(self, feats, coords, keys, valid, train: bool = False):
+    def __call__(self, feats, coords, keys, valid, train: bool = False,
+                 rulebook=None):
         cin = feats.shape[-1]
         in_dtype = feats.dtype
         cout = self.features * self.expansion
@@ -136,11 +152,14 @@ class SparseBottleneck(nn.Module):
             out = MaskedBatchNorm()(out, valid, train)
         out = nn.relu(out)
         # conv3x3
+        if rulebook is None:
+            rulebook = stage_rulebook(coords, keys, valid, self.grid_dhw)
         w2 = self.param("kernel3x3", nn.initializers.variance_scaling(
             1.0, "fan_in", "normal"), (27, self.features, self.features))
         out = jax.vmap(
-            lambda f, c, k, v: sp.subm_conv3d(f, c, k, v, self.grid_dhw, w2)
-        )(out, coords, keys, valid)
+            lambda f, c, k, v, rs, rsel: sp.subm_conv3d(
+                f, c, k, v, self.grid_dhw, w2, rulebook=(rs, rsel))
+        )(out, coords, keys, valid, *rulebook)
         if self.use_norm:
             out = MaskedBatchNorm()(out, valid, train)
         out = nn.relu(out)
@@ -235,32 +254,36 @@ class SparseMiddleFHD(nn.Module):
         sort = jax.vmap(lambda c, f, v: sp.sort_active(c, f, v, grid0))
         coords, feats, valid, keys = sort(coords, voxel_features, valid)
 
+        rb = stage_rulebook(coords, keys, valid, grid0)
         feats = SubMBlock(c16, grid0, self.use_norm)(
-            feats, coords, keys, valid, train)
+            feats, coords, keys, valid, train, rulebook=rb)
         feats = SubMBlock(c16, grid0, self.use_norm)(
-            feats, coords, keys, valid, train)
+            feats, coords, keys, valid, train, rulebook=rb)
         feats, coords, keys, valid, grid1 = DownBlock(
             c32, grid0, out_cap=caps[0], use_norm=self.use_norm)(
                 feats, coords, keys, valid, train)
 
+        rb = stage_rulebook(coords, keys, valid, grid1)
         feats = SubMBlock(c32, grid1, self.use_norm)(
-            feats, coords, keys, valid, train)
+            feats, coords, keys, valid, train, rulebook=rb)
         feats = SubMBlock(c32, grid1, self.use_norm)(
-            feats, coords, keys, valid, train)
+            feats, coords, keys, valid, train, rulebook=rb)
         feats, coords, keys, valid, grid2 = DownBlock(
             c64, grid1, out_cap=caps[1], use_norm=self.use_norm)(
                 feats, coords, keys, valid, train)
 
+        rb = stage_rulebook(coords, keys, valid, grid2)
         for _ in range(3):
             feats = SubMBlock(c64, grid2, self.use_norm)(
-                feats, coords, keys, valid, train)
+                feats, coords, keys, valid, train, rulebook=rb)
         feats, coords, keys, valid, grid3 = DownBlock(
             c64b, grid2, padding=(0, 1, 1), out_cap=caps[2],
             use_norm=self.use_norm)(feats, coords, keys, valid, train)
 
+        rb = stage_rulebook(coords, keys, valid, grid3)
         for _ in range(3):
             feats = SubMBlock(c64b, grid3, self.use_norm)(
-                feats, coords, keys, valid, train)
+                feats, coords, keys, valid, train, rulebook=rb)
         feats, coords, keys, valid, grid4 = DownBlock(
             c64c, grid3, kernel_size=(3, 1, 1), stride=(2, 1, 1),
             padding=(0, 0, 0), out_cap=caps[3], use_norm=self.use_norm)(
@@ -404,27 +427,32 @@ class SparseMiddleStack(nn.Module):
         cap = int(N * self.cap_factor)
         sort = jax.vmap(lambda c, f, v: sp.sort_active(c, f, v, grid))
         coords, feats, valid, keys = sort(coords, voxel_features, valid)
+        rb = None   # shared per stage; invalidated by down/maxpool
         for op in self.ops:
             kind = op[0]
+            if kind in ("subm", "res", "bottleneck") and rb is None:
+                rb = stage_rulebook(coords, keys, valid, grid)
             if kind == "subm":
                 feats = SubMBlock(op[1], grid, self.use_norm)(
-                    feats, coords, keys, valid, train)
+                    feats, coords, keys, valid, train, rulebook=rb)
             elif kind == "res":
                 feats = SparseBasicBlock(op[1], grid, self.use_norm)(
-                    feats, coords, keys, valid, train)
+                    feats, coords, keys, valid, train, rulebook=rb)
             elif kind == "bottleneck":
                 feats = SparseBottleneck(op[1], grid, self.use_norm)(
-                    feats, coords, keys, valid, train)
+                    feats, coords, keys, valid, train, rulebook=rb)
             elif kind == "down":
                 _, ch, kernel, stride, pad = op
                 feats, coords, keys, valid, grid = DownBlock(
                     ch, grid, kernel_size=tuple(kernel), stride=tuple(stride),
                     padding=tuple(pad), out_cap=cap,
                     use_norm=self.use_norm)(feats, coords, keys, valid, train)
+                rb = None
             elif kind == "maxpool":
                 feats, coords, keys, valid, grid = MaxPoolBlock(
                     grid, tuple(op[1]), out_cap=cap)(
                         feats, coords, keys, valid, train)
+                rb = None
             else:
                 raise ValueError(f"unknown sparse-middle op {op!r}")
         dense = jax.vmap(

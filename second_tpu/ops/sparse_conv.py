@@ -7,13 +7,14 @@ middle extractors, `second/pytorch/models/middle.py`). Design:
   * The active set is (coords [N, 3] zyx int32, features [N, C], valid [N]),
     with *static* capacity N and coords kept sorted by linearized key — the
     on-device voxelizer already emits this order.
-  * Submanifold conv: for each kernel offset, neighbor keys are found by
-    binary search (`searchsorted`) in the sorted key array; gathered features
-    are contracted against per-offset weights in one batched einsum
-    ([K, N, Cin] x [K, Cin, Cout]) that maps straight onto the MXU. Because
-    the key array is identical for every submanifold layer in a block, XLA's
-    CSE de-duplicates the lookups — the functional analog of spconv's
-    `indice_key` reuse (`middle.py:464-505`).
+  * Submanifold conv: for each kernel offset, neighbor rows are found by a
+    bucketed rank lookup in the sorted key array; gathered features are
+    contracted against per-offset weights in one batched einsum
+    ([K, N, Cin] x [K, Cin, Cout]) that maps straight onto the MXU. The
+    lookup + tap-hit resolution is feature-independent and identical for
+    every submanifold layer over the same active set, so it is built once
+    per stage as an explicit rulebook (`subm_rulebook`) and reused — the
+    analog of spconv's `indice_key` reuse (`middle.py:464-505`).
   * Strided conv: candidate output sites are generated per kernel offset,
     deduplicated by sort (same machinery as the voxelizer), capped at a
     static output capacity, then gathered like the submanifold case.
@@ -138,48 +139,34 @@ def lookup_rank(keys_sorted, query_keys, block: int = 128):
     return rank.reshape(G, Q)
 
 
-def gather_taps(features, keys_sorted, base_coords, base_valid, grid_dhw,
-                kernel_size):
-    """Gather neighbor features for every kernel tap — x-window grouped.
+def gather_rulebook(keys_sorted, base_coords, base_valid, grid_dhw,
+                    kernel_size):
+    """Feature-INDEPENDENT half of the tap gather: rank windows + tap hits.
 
     In sorted-linear-key order the x±1 neighbors of a site are *adjacent
     array rows*, so the K = kz·ky·kx per-offset lookups collapse to kz·ky
-    rank lookups (one per (dz, dy) plane) and each plane's kx taps come from
-    ONE wide gather of kx channel-concatenated row-shifted copies
-    (wide monotone row gathers are far faster on TPU than K narrow ones).
+    rank lookups (one per (dz, dy) plane); which of the kx window rows
+    matches each tap is resolved here by gathering the kx row-shifted KEY
+    copies once. Everything returned depends only on (keys, coords, valid) —
+    i.e. it is identical for every submanifold conv over the same active
+    set, so a stage builds it ONCE and every conv reuses it (the functional
+    analog of spconv's `indice_key` reuse, reference `middle.py:464-505`).
 
     Args:
-        features [N, C]; keys_sorted [N] (sentinel-padded, strictly
-        increasing over valid rows); base_coords [Q, 3] zyx of each query's
-        kernel origin (tap (0,0,0) position); base_valid [Q].
+        keys_sorted [N] (sentinel-padded, strictly increasing over valid
+        rows); base_coords [Q, 3] zyx of each query's kernel origin (tap
+        (0,0,0) position); base_valid [Q].
     Returns:
-        stacked [K, Q, C] tap features, zeros where the tap is inactive,
+        safe [kz*ky, Q] int32 — row to gather per (dz, dy) plane;
+        sel [K, Q, kx] bool — tap k of query q lives in window row i
+        (already ANDed with every validity condition; at most one i true),
         tap order = itertools.product(range(kz), range(ky), range(kx)).
     """
     kz, ky, kx = (int(k) for k in kernel_size)
-    N, C = features.shape
+    N = keys_sorted.shape[0]
     D, H, W = grid_dhw
     sen = sentinel(grid_dhw)
     grid = np.array(grid_dhw, np.int32)
-
-    # augmented array: kx row-shifted feature copies + their keys, packed
-    # into dtype-exact integer channels so tap-found masks come from the
-    # same gather. fp32 holds ints < 2^24 → two 16-bit halves; bf16 holds
-    # ints < 2^8 → four bytes.
-    if jnp.dtype(features.dtype).itemsize >= 4:
-        shift_bits, chunk_mask = (16, 0), 0xFFFF
-    else:
-        shift_bits, chunk_mask = (24, 16, 8, 0), 0xFF
-    parts = len(shift_bits)
-    shifted_f = [features] + [jnp.roll(features, -i, axis=0)
-                              for i in range(1, kx)]
-    shifted_k = [keys_sorted] + [jnp.roll(keys_sorted, -i, axis=0)
-                                 for i in range(1, kx)]
-    key_ch = []
-    for k in shifted_k:
-        for sb in shift_bits:
-            key_ch.append(((k >> sb) & chunk_mask).astype(features.dtype))
-    aug = jnp.concatenate(shifted_f + [jnp.stack(key_ch, -1)], axis=-1)
 
     # group masks check z/y bounds only; x bounds are per-tap (the window
     # origin x0 may be -1 for centered kernels while taps x0+1.. are valid —
@@ -199,44 +186,79 @@ def gather_taps(features, keys_sorted, base_coords, base_valid, grid_dhw,
     safe = jnp.clip(rank, 0, N - 1)
     rank_ok = rank < N
 
-    gathered = aug[safe]                        # [kz*ky, Q, kx*(C + parts)]
+    # the kx row-shifted key copies of each window row (narrow int gather —
+    # build-time only; the per-conv apply gathers features alone)
+    keys_win = jnp.stack([jnp.roll(keys_sorted, -i) for i in range(kx)],
+                         -1)                          # [N, kx]
+    rows_key = keys_win[safe]                         # [kz*ky, Q, kx]
     x0 = base_coords[:, 2]
-    out = []
+    sel = []
     for g in range(kz * ky):
-        rows_f = [gathered[g, :, i * C:(i + 1) * C] for i in range(kx)]
-        kb = kx * C
-        rows_key = []
-        for i in range(kx):
-            acc = jnp.zeros(gathered.shape[1], jnp.int32)
-            for t, sb in enumerate(shift_bits):
-                acc = acc | (gathered[g, :, kb + parts * i + t]
-                             .astype(jnp.int32) << sb)
-            rows_key.append(acc)
         for j in range(kx):
             want = qk[g] + j
             x_ok = ((x0 + j) >= 0) & ((x0 + j) < W)  # no row-major wrap
-            ok_base = zy_ok[g] & rank_ok[g] & x_ok
-            feat = jnp.zeros_like(rows_f[0])
-            for i in range(kx):
-                hit = ok_base & (rows_key[i] == want)
-                feat = jnp.where(hit[:, None], rows_f[i], feat)
-            out.append(feat)
-    return jnp.stack(out)                            # [K, Q, C]
+            ok = zy_ok[g] & rank_ok[g] & x_ok
+            sel.append(ok[:, None] & (rows_key[g] == want[:, None]))
+    return safe, jnp.stack(sel)                       # [K, Q, kx]
+
+
+def gather_taps_rb(features, safe, sel):
+    """Feature-dependent half: ONE wide gather of kx channel-concatenated
+    row-shifted feature copies per (dz, dy) plane (wide monotone row gathers
+    are far faster on TPU than K narrow ones), then tap selection by the
+    precomputed rulebook masks.
+
+    Returns stacked [K, Q, C] tap features, zeros where a tap is inactive.
+    """
+    K, Q, kx = sel.shape
+    N, C = features.shape
+    shifted = [features] + [jnp.roll(features, -i, axis=0)
+                            for i in range(1, kx)]
+    aug = jnp.concatenate(shifted, axis=-1)           # [N, kx*C]
+    gathered = aug[safe]                              # [kz*ky, Q, kx*C]
+    gathered = gathered.reshape(safe.shape[0], Q, kx, C)
+    out = []
+    for k in range(K):
+        g = k // kx
+        feat = jnp.zeros((Q, C), features.dtype)
+        for i in range(kx):
+            feat = jnp.where(sel[k, :, i][:, None], gathered[g, :, i], feat)
+        out.append(feat)
+    return jnp.stack(out)                             # [K, Q, C]
+
+
+def gather_taps(features, keys_sorted, base_coords, base_valid, grid_dhw,
+                kernel_size):
+    """Gather neighbor features for every kernel tap (rulebook build +
+    apply in one call — use gather_rulebook/gather_taps_rb directly to share
+    the build across convs over the same active set)."""
+    safe, sel = gather_rulebook(keys_sorted, base_coords, base_valid,
+                                grid_dhw, kernel_size)
+    return gather_taps_rb(features, safe, sel)
+
+
+def subm_rulebook(coords, keys_sorted, valid, grid_dhw, kernel_size=(3, 3, 3)):
+    """Rulebook for a submanifold conv: shared by EVERY subm conv over the
+    same active set (build once per stage; see gather_rulebook)."""
+    base = coords - np.array(kernel_size, np.int32) // 2
+    return gather_rulebook(keys_sorted, base, valid, grid_dhw, kernel_size)
 
 
 def subm_conv3d(features, coords, keys_sorted, valid, grid_dhw, weights,
-                bias=None):
+                bias=None, rulebook=None):
     """Submanifold 3D conv over a sorted active set.
 
     features [N, Cin]; coords [N, 3] zyx; keys_sorted [N] (sentinel-padded);
     valid [N]; weights [K, Cin, Cout] with K = prod(kernel_size), offsets in
-    itertools.product order centered at kernel//2.
+    itertools.product order centered at kernel//2. `rulebook` (from
+    subm_rulebook) skips the per-conv neighbor lookup.
     """
     K = weights.shape[0]
     kernel_size = _round_kernel(K)
-    base = coords - np.array(kernel_size, np.int32) // 2
-    stacked = gather_taps(features, keys_sorted, base, valid, grid_dhw,
-                          kernel_size)                  # [K, N, Cin]
+    if rulebook is None:
+        rulebook = subm_rulebook(coords, keys_sorted, valid, grid_dhw,
+                                 kernel_size)
+    stacked = gather_taps_rb(features, *rulebook)       # [K, N, Cin]
     out = jnp.einsum("knc,kcd->nd", stacked,
                      weights.astype(features.dtype),
                      preferred_element_type=jnp.float32)
