@@ -19,6 +19,7 @@ import argparse
 import pathlib
 import shutil
 import sys
+import threading
 import time
 from typing import Dict, List, Optional
 
@@ -417,12 +418,15 @@ class Trainer:
 
     def _convert_detections(self, det, scenes, gt_annos, dt_annos):
         """Host-side detection→KITTI-anno conversion for one batch (runs
-        while the device executes the next batch)."""
+        in a converter thread while the device executes later batches; the
+        device fetch inside np.asarray releases the GIL)."""
         det = {k: np.asarray(v) for k, v in det.items()}
         for key in ("voxel_overflow", "stage_overflow"):
             if key in det:
-                self._eval_overflow[key] = (
-                    self._eval_overflow.get(key, 0) + int(det.pop(key)))
+                count = int(det.pop(key))
+                with self._overflow_lock:
+                    self._eval_overflow[key] = (
+                        self._eval_overflow.get(key, 0) + count)
         for b, scene in enumerate(scenes):
             valid = det["valid"][b]
             # tracking-benchmark scenes carry lidar-frame gt but no camera
@@ -470,28 +474,45 @@ class Trainer:
         starts = range(0, n - n % batch_size, batch_size)
         gt_annos, dt_annos = [], []
         self._eval_overflow = {}
+        self._overflow_lock = threading.Lock()
         t0 = time.time()
         bar = None
         if sys.stdout.isatty() and len(starts) > 1:
             from ..utils.misc import ProgressBar
             bar = ProgressBar(len(starts))
-        pending = None   # (device detections, scenes) of the previous batch
+        # the main loop only preps + dispatches: device batches are enqueued
+        # back-to-back (the runtime executes them in order) and the
+        # detection→anno conversion runs on converter threads, whose device
+        # fetches release the GIL. Per-batch anno lists are ordered by the
+        # futures list, so results stay deterministic.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def convert_one(det, scenes):
+            gt, dt = [], []
+            self._convert_detections(det, scenes, gt, dt)
+            return gt, dt
+
+        from collections import deque
         t_first = None   # end of the first (compile-bearing) batch
-        for scenes, jbatch in bounded_ordered_map(
-                make_batch, starts, num_workers=workers, prefetch=8):
-            det = self.eval_step(state, jbatch)   # async dispatch
-            if pending is not None:
-                self._convert_detections(pending[0], pending[1],
-                                         gt_annos, dt_annos)
-            if t_first is None:
-                np.asarray(det["valid"])          # force first-batch compile
-                t_first = time.time()
-            pending = (det, scenes)
-            if bar is not None:
-                bar.update()
-        if pending is not None:
-            self._convert_detections(pending[0], pending[1],
-                                     gt_annos, dt_annos)
+        q = deque()      # in-flight (dispatched, unconverted) batches
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            for scenes, jbatch in bounded_ordered_map(
+                    make_batch, starts, num_workers=workers, prefetch=8):
+                det = self.eval_step(state, jbatch)   # async dispatch
+                if t_first is None:
+                    np.asarray(det["valid"])   # force first-batch compile
+                    t_first = time.time()
+                q.append(pool.submit(convert_one, det, scenes))
+                while len(q) > 4:   # bound the device queue depth
+                    gt, dt = q.popleft().result()
+                    gt_annos.extend(gt)
+                    dt_annos.extend(dt)
+                if bar is not None:
+                    bar.update()
+            while q:
+                gt, dt = q.popleft().result()
+                gt_annos.extend(gt)
+                dt_annos.extend(dt)
         dt = time.time() - t0
         fps = len(dt_annos) / max(dt, 1e-9)
         # steady-state rate: exclude the compile-bearing first batch
