@@ -67,7 +67,8 @@ def main():
         timed(f"gather-sorted {R:7d} x {C*2:5d}B", f, src, idx)
 
     # dense 3D conv candidates (sub-sampled s2 shape), NDHWC
-    for (D, H, W, C) in [(11, 400, 352, 64), (21, 800, 704, 32)]:
+    # (21, 800, 704, 32) OOMs 16GB HBM (XLA picks a 24GB conv layout)
+    for (D, H, W, C) in [(11, 400, 352, 64)]:
         x = jnp.asarray(rng.normal(0, 1, (4, D, H, W, C)), jnp.bfloat16)
         w = jnp.asarray(rng.normal(0, 0.05, (3, 3, 3, C, C)), jnp.bfloat16)
 

@@ -87,6 +87,18 @@ class CheckpointManager:
             lambda t, r: jax.numpy.asarray(r) if hasattr(t, "dtype") else r,
             target, restored)
 
+    def restore_raw(self, step: Optional[int] = None) -> Optional[Any]:
+        """Restore the latest checkpoint WITHOUT a template — returns the
+        raw nested dict (numpy leaves). Lets a different training program
+        graft a sub-tree (e.g. joint fine-tune consuming a detector-only
+        checkpoint) without reconstructing the saved TrainState/optimizer."""
+        if step is None:
+            step = self.latest_step()
+            if step is None:
+                return None
+        path = (self._dir / f"{self._name}-{step}").resolve()
+        return self._ckpt.restore(path)
+
     def try_restore_latest(self, target: Any) -> Any:
         """Restore-latest-or-None (reference try_restore_latest_checkpoints)."""
         try:

@@ -325,6 +325,158 @@ class TrackingTrainer:
         return summary
 
 
+class JointTrainer:
+    """Joint detector+tracker fine-tuning — the `train_2st_spatio.py:201-476`
+    loop: a temporal-detector checkpoint is restored and detection +
+    tracking losses train together, tracking-loss gradients reaching the
+    detector's second stage through the differentiable BEV-feature crops
+    (`models/joint_track.JointDetTrack`)."""
+
+    def __init__(self, model_dir, detector_config, *,
+                 detector_dir: Optional[str] = None,
+                 data_root: Optional[str] = None, num_frames: int = 4,
+                 num_dets: int = 16, lr: float = 3e-4, seed: int = 0,
+                 dataset_size: int = 64, max_points: int = 12000,
+                 tracking_weight: float = 1.0):
+        from ..config import load_pipeline_config
+        from ..data import ExamplePrep, PrepConfig
+        from ..models.joint_track import (build_joint_det_track,
+                                          compute_joint_loss)
+        from ..train.checkpoint import CheckpointManager
+        from ..train.state import VoxelizeSpec, device_voxelize
+
+        self.model_dir = Path(model_dir)
+        os.makedirs(self.model_dir, exist_ok=True)
+        self.cfg = load_pipeline_config(detector_config)
+        (self.module, self.spec, self.info, self.assigner,
+         self.coder) = build_joint_det_track(self.cfg.model,
+                                             num_dets=num_dets)
+        vg = self.cfg.model.voxel_generator
+        self.vspec = VoxelizeSpec.from_config(
+            vg, self.cfg.train_input_reader.max_number_of_voxels)
+        self.prep = ExamplePrep(
+            self.assigner, self.info.feature_map_size,
+            PrepConfig(max_points=max_points, training=True,
+                       voxel_size=tuple(vg.voxel_size),
+                       pc_range=tuple(vg.point_cloud_range)))
+        self.num_frames = num_frames
+        if data_root:
+            self.dataset = KittiTrackingDataset(data_root)
+        else:
+            self.dataset = SyntheticTrackingDataset(
+                size=dataset_size, seed=seed, num_frames=num_frames,
+                num_cars=(3, min(8, num_dets - 2)), num_ground=2000,
+                pc_range=tuple(vg.point_cloud_range))
+        self._rng = np.random.default_rng(seed)
+        self.tx = optax.adam(lr)
+        self.ckpt = CheckpointManager(self.model_dir, name="joint")
+
+        batch = self._window(0)
+        vox_keys = ("voxels", "num_points", "coordinates", "voxel_valid")
+
+        def _frames(b):
+            vox = device_voxelize(self.vspec, b["points"], b["points_mask"])
+            out = {k: vox[k] for k in vox_keys}
+            out["points"] = b["points"]
+            out["points_mask"] = b["points_mask"]
+            return out
+
+        variables = jax.jit(
+            lambda b: self.module.init(jax.random.PRNGKey(seed), _frames(b),
+                                       b["anchors"], train=False))(batch)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self.restored_detector = False
+        if detector_dir is not None:
+            raw = CheckpointManager(detector_dir).restore_raw()
+            if raw is not None:
+                # graft the detector-only checkpoint (same module names:
+                # vfe/middle/rpn/bev_fusion/second_rpn)
+                self.params = dict(self.params)
+                self.params["detector"] = jax.tree.map(
+                    lambda t, r: jnp.asarray(r, t.dtype),
+                    self.params["detector"], raw["params"])
+                if raw.get("batch_stats"):
+                    self.batch_stats = dict(self.batch_stats)
+                    self.batch_stats["detector"] = jax.tree.map(
+                        lambda t, r: jnp.asarray(r, t.dtype),
+                        self.batch_stats["detector"], raw["batch_stats"])
+                self.restored_detector = True
+        self.opt_state = self.tx.init(self.params)
+
+        spec = self.spec
+
+        def loss_fn(params, batch_stats, batch):
+            preds, mut = self.module.apply(
+                {"params": params, "batch_stats": batch_stats},
+                _frames(batch), batch["anchors"], train=True,
+                mutable=["batch_stats"])
+            losses = compute_joint_loss(spec, preds, batch,
+                                        tracking_weight=tracking_weight)
+            return losses["loss"], (losses, mut["batch_stats"])
+
+        def train_step(params, batch_stats, opt_state, batch):
+            (_, (losses, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch_stats, batch)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), new_bs, opt_state,
+                    losses)
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+        self._loss_fn = loss_fn
+
+    def _window(self, idx: int) -> Dict[str, jnp.ndarray]:
+        """One T-frame window → stacked fixed-shape arrays (detection
+        targets per frame via ExamplePrep + aligned padded gt track ids)."""
+        frames = self.dataset[idx % len(self.dataset)]
+        if not isinstance(frames, list):        # KittiTrackingSequence
+            frames = [frames[i] for i in range(len(frames))]
+        frames = frames[:self.num_frames]
+        while len(frames) < self.num_frames:
+            frames.append(frames[-1])
+        exs, ids_padded = [], []
+        G = self.prep._prep.max_gt
+        for f in frames:
+            exs.append(self.prep(f, self._rng))
+            names = np.asarray(f.get(
+                "gt_names", np.array(["Car"] * len(f["gt_boxes"]))))
+            keep = np.array([n in self.assigner.classes for n in names],
+                            bool) if len(names) else np.zeros(0, bool)
+            ids = np.asarray(f["track_ids"])[keep][:G]
+            pad = np.full(G, -1, np.int64)
+            pad[:len(ids)] = ids
+            ids_padded.append(pad)
+        batch = {k: np.stack([e[k] for e in exs])
+                 for k in ("points", "points_mask", "labels", "reg_targets",
+                           "gt_boxes_padded", "gt_valid")}
+        batch["gt_ids"] = np.stack(ids_padded)
+        batch["anchors"] = np.broadcast_to(
+            self.prep.anchors[None],
+            (self.num_frames,) + self.prep.anchors.shape)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def train(self, steps: int = 100, log_every: int = 10) -> Dict:
+        history = []
+        t0 = time.time()
+        for step in range(steps):
+            batch = self._window(step)
+            (self.params, self.batch_stats, self.opt_state,
+             losses) = self._train_step(self.params, self.batch_stats,
+                                        self.opt_state, batch)
+            if step % log_every == 0 or step == steps - 1:
+                rec = {"step": step,
+                       **{k: float(v) for k, v in losses.items()},
+                       "elapsed_s": round(time.time() - t0, 2)}
+                history.append(rec)
+                print(json.dumps(rec))
+        self.ckpt.save({"params": self.params,
+                        "batch_stats": self.batch_stats}, steps)
+        (self.model_dir / "log_joint.json").write_text(
+            json.dumps(history, indent=1))
+        return {"first_loss": history[0]["loss"],
+                "last_loss": history[-1]["loss"]}
+
+
 def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("action", choices=["train", "evaluate"])
@@ -350,7 +502,24 @@ def main():
     parser.add_argument("--window", type=int, default=0,
                         help="evaluate in overlapping N-frame windows "
                              "stitched by align_id (0 = whole sequence)")
+    parser.add_argument("--with_detector", action="store_true",
+                        help="joint detector+tracker fine-tune "
+                             "(train_2st_spatio): tracking-loss gradients "
+                             "flow into the temporal detector; requires "
+                             "--detector_config (+ --detector_dir to resume "
+                             "from a detector checkpoint)")
+    parser.add_argument("--tracking_weight", type=float, default=1.0)
     args = parser.parse_args()
+    if args.with_detector:
+        assert args.detector_config, "--with_detector needs --detector_config"
+        assert args.action == "train", "--with_detector is a training mode"
+        joint = JointTrainer(
+            args.model_dir, args.detector_config,
+            detector_dir=args.detector_dir, data_root=args.data_root,
+            num_frames=args.num_frames, num_dets=args.max_dets, lr=args.lr,
+            tracking_weight=args.tracking_weight)
+        joint.train(args.steps)
+        return
     trainer = TrackingTrainer(
         args.model_dir, data_root=args.data_root,
         num_frames=args.num_frames, max_dets=args.max_dets,
