@@ -57,10 +57,9 @@ class MaskedBatchNorm(nn.Module):
 def stage_rulebook(coords, keys, valid, grid_dhw):
     """Batched k=3 submanifold rulebook, built ONCE per stage and shared by
     every submanifold conv over that stage's active set (spconv `indice_key`
-    reuse, reference `middle.py:464-505`)."""
-    return jax.vmap(
-        lambda c, k, v: sp.subm_rulebook(c, k, v, grid_dhw))(coords, keys,
-                                                             valid)
+    reuse, reference `middle.py:464-505`). Batch-native build: the rank
+    lookups and tap-hit gathers run as flat global-index ops."""
+    return sp.subm_rulebook_b(coords, keys, valid, grid_dhw)
 
 
 class SubMBlock(nn.Module):
@@ -80,10 +79,8 @@ class SubMBlock(nn.Module):
             "conv_bias", nn.initializers.zeros, (self.features,))
         if rulebook is None:
             rulebook = stage_rulebook(coords, keys, valid, self.grid_dhw)
-        conv = jax.vmap(
-            lambda f, c, k, v, rs, rsel: sp.subm_conv3d(
-                f, c, k, v, self.grid_dhw, w, bias, rulebook=(rs, rsel)))
-        out = conv(feats, coords, keys, valid, *rulebook)
+        out = sp.subm_conv3d_b(feats, coords, keys, valid, self.grid_dhw, w,
+                               bias, rulebook=rulebook)
         if self.use_norm:
             out = MaskedBatchNorm()(out, valid, train)
         return (nn.relu(out) * valid[..., None]).astype(in_dtype)
@@ -113,10 +110,8 @@ class SparseBasicBlock(nn.Module):
             cin_i = out.shape[-1]
             w = self.param(f"kernel{i}", nn.initializers.variance_scaling(
                 1.0, "fan_in", "normal"), (27, cin_i, self.features))
-            conv = jax.vmap(
-                lambda f, c, k, v, rs, rsel: sp.subm_conv3d(
-                    f, c, k, v, self.grid_dhw, w, rulebook=(rs, rsel)))
-            out = conv(out, coords, keys, valid, *rulebook)
+            out = sp.subm_conv3d_b(out, coords, keys, valid, self.grid_dhw,
+                                   w, rulebook=rulebook)
             if self.use_norm:
                 out = MaskedBatchNorm()(out, valid, train)
             if i == 0:
@@ -156,10 +151,8 @@ class SparseBottleneck(nn.Module):
             rulebook = stage_rulebook(coords, keys, valid, self.grid_dhw)
         w2 = self.param("kernel3x3", nn.initializers.variance_scaling(
             1.0, "fan_in", "normal"), (27, self.features, self.features))
-        out = jax.vmap(
-            lambda f, c, k, v, rs, rsel: sp.subm_conv3d(
-                f, c, k, v, self.grid_dhw, w2, rulebook=(rs, rsel))
-        )(out, coords, keys, valid, *rulebook)
+        out = sp.subm_conv3d_b(out, coords, keys, valid, self.grid_dhw, w2,
+                               rulebook=rulebook)
         if self.use_norm:
             out = MaskedBatchNorm()(out, valid, train)
         out = nn.relu(out)
@@ -193,23 +186,15 @@ class DownBlock(nn.Module):
             "conv_bias", nn.initializers.zeros, (self.features,))
 
         in_dtype = feats.dtype
-
-        def one(f, c, k, v):
-            out, oc, ok, ov, og, nu = sp.sparse_conv3d(
-                f, c, k, v, self.grid_dhw, w, self.kernel_size, self.stride,
-                self.padding, self.out_cap, bias)
-            return out, oc, ok, ov, nu
-        out, oc, ok, ov, nu = jax.vmap(one)(feats, coords, keys, valid)
+        out, oc, ok, ov, out_grid, nu = sp.sparse_conv3d_b(
+            feats, coords, keys, valid, self.grid_dhw, w, self.kernel_size,
+            self.stride, self.padding, self.out_cap, bias)
         # overflow telemetry: active sites truncated by the stage capacity
         self.sow("intermediates", "stage_overflow",
                  jnp.maximum(nu - self.out_cap, 0).sum())
         if self.use_norm:
             out = MaskedBatchNorm()(out, ov, train)
         out = (nn.relu(out) * ov[..., None]).astype(in_dtype)
-        out_grid = tuple(
-            ((np.array(self.grid_dhw) + 2 * np.array(self.padding)
-              - np.array(self.kernel_size)) // np.array(self.stride) + 1
-             ).tolist())
         return out, oc, ok, ov, out_grid
 
 

@@ -237,6 +237,175 @@ def gather_taps(features, keys_sorted, base_coords, base_valid, grid_dhw,
     return gather_taps_rb(features, safe, sel)
 
 
+# ---------------------------------------------------------------------------
+# Batch-native variants — flat global-index gathers.
+#
+# XLA lowers a *batched* row gather (vmap of src[idx], batch dim on both
+# operands) ~2.5-7x slower on TPU than ONE flat gather over the
+# batch-flattened source with globalized indices (measured:
+# scripts/bench_gather_flat.py — 40960x9 rows of 96B: 20.3 ms vmapped vs
+# 8.4 ms flat vs 5.0 ms flat+monotone, per 4-example batch). Every
+# hot-path gather below therefore reshapes [B, N, C] -> [B*N, C] and adds
+# b*N to the indices. The per-example functions above remain the reference
+# implementations (and the numpy-oracle test surface).
+# ---------------------------------------------------------------------------
+
+
+def flat_rows(src, idx):
+    """src [B, N, C], idx [B, ...] int32 → src[b, idx[b, ...]] via ONE flat
+    gather over [B*N, C] (see note above)."""
+    B, N, C = src.shape
+    off = (jnp.arange(B, dtype=jnp.int32) * N).reshape(
+        (B,) + (1,) * (idx.ndim - 1))
+    out = src.reshape(B * N, C)[(idx + off).reshape(-1)]
+    return out.reshape(idx.shape + (C,))
+
+
+def _select_bucket_rows_b(keys_sorted, bucket, nb, block):
+    """Batched `_select_bucket_rows`: one-hot MXU bucket selection with a
+    batch dim ([B, Q', nb] x [B, nb, block] byte-chunk matmuls)."""
+    onehot = (jnp.arange(nb, dtype=jnp.int32)[None, None, :] ==
+              bucket[..., None]).astype(jnp.bfloat16)      # [B, Q', nb]
+    keys2d = keys_sorted.reshape(keys_sorted.shape[0], nb, block)
+    rows = jnp.zeros(bucket.shape + (block,), jnp.int32)
+    for sb in (24, 16, 8, 0):
+        chunk = ((keys2d >> sb) & 0xFF).astype(jnp.bfloat16)
+        sel = jnp.einsum("bqn,bnk->bqk", onehot, chunk,
+                         preferred_element_type=jnp.float32)
+        rows = rows | (sel.astype(jnp.int32) << sb)
+    return rows
+
+
+def lookup_rank_b(keys_sorted, query_keys, block: int = 128):
+    """Batched `lookup_rank`: keys_sorted [B, N], query_keys [B, G, Q] →
+    ranks [B, G, Q]."""
+    B, G, Q = query_keys.shape
+    N = keys_sorted.shape[1]
+    while N % block:
+        block //= 2
+    nb = N // block
+    q = query_keys.reshape(B, G * Q)
+    pivots = keys_sorted[:, ::block]                       # [B, nb]
+    ge = (q[:, :, None] >= pivots[:, None, :])
+    bucket = jnp.clip(ge.sum(-1) - 1, 0, nb - 1).astype(jnp.int32)
+    rows = _select_bucket_rows_b(keys_sorted, bucket, nb, block)
+    rank = bucket * block + (rows < q[..., None]).sum(-1).astype(jnp.int32)
+    return rank.reshape(B, G, Q)
+
+
+def gather_rulebook_b(keys_sorted, base_coords, base_valid, grid_dhw,
+                      kernel_size):
+    """Batched `gather_rulebook`: keys_sorted [B, N], base_coords [B, Q, 3],
+    base_valid [B, Q] → (safe [B, kz*ky, Q], sel [B, K, Q, kx])."""
+    kz, ky, kx = (int(k) for k in kernel_size)
+    B, N = keys_sorted.shape
+    D, H, W = grid_dhw
+    sen = sentinel(grid_dhw)
+    grid = np.array(grid_dhw, np.int32)
+
+    qks, masks = [], []
+    for dz in range(kz):
+        for dy in range(ky):
+            zy = base_coords + np.array([dz, dy, 0], np.int32)
+            inb = ((zy[..., :2] >= 0) & (zy[..., :2] < grid[:2])).all(-1)
+            inb &= base_valid
+            qks.append(jnp.where(inb, linearize(zy, grid_dhw), sen))
+            masks.append(inb)
+    qk = jnp.stack(qks, axis=1)                            # [B, kz*ky, Q]
+    zy_ok = jnp.stack(masks, axis=1)
+    rank = lookup_rank_b(keys_sorted, qk)
+    safe = jnp.clip(rank, 0, N - 1)
+    rank_ok = rank < N
+
+    keys_win = jnp.stack([jnp.roll(keys_sorted, -i, axis=1)
+                          for i in range(kx)], -1)          # [B, N, kx]
+    rows_key = flat_rows(keys_win, safe)                    # [B, kz*ky, Q, kx]
+    x0 = base_coords[..., 2]
+    sel = []
+    for g in range(kz * ky):
+        for j in range(kx):
+            want = qk[:, g] + j
+            x_ok = ((x0 + j) >= 0) & ((x0 + j) < W)
+            ok = zy_ok[:, g] & rank_ok[:, g] & x_ok
+            sel.append(ok[..., None] & (rows_key[:, g] == want[..., None]))
+    return safe, jnp.stack(sel, axis=1)                     # [B, K, Q, kx]
+
+
+def gather_taps_rb_b(features, safe, sel):
+    """Batched `gather_taps_rb`: features [B, N, C], safe [B, kz*ky, Q],
+    sel [B, K, Q, kx] → [B, K, Q, C] (ONE flat wide gather)."""
+    B, K, Q, kx = sel.shape
+    C = features.shape[-1]
+    shifted = [features] + [jnp.roll(features, -i, axis=1)
+                            for i in range(1, kx)]
+    aug = jnp.concatenate(shifted, axis=-1)                 # [B, N, kx*C]
+    gathered = flat_rows(aug, safe)                         # [B, kz*ky, Q, kx*C]
+    gathered = gathered.reshape(B, safe.shape[1], Q, kx, C)
+    out = []
+    for k in range(K):
+        g = k // kx
+        feat = jnp.zeros((B, Q, C), features.dtype)
+        for i in range(kx):
+            feat = jnp.where(sel[:, k, :, i][..., None],
+                             gathered[:, g, :, i], feat)
+        out.append(feat)
+    return jnp.stack(out, axis=1)                           # [B, K, Q, C]
+
+
+def subm_rulebook_b(coords, keys_sorted, valid, grid_dhw,
+                    kernel_size=(3, 3, 3)):
+    """Batched `subm_rulebook` (build once per stage, reuse per conv)."""
+    base = coords - np.array(kernel_size, np.int32) // 2
+    return gather_rulebook_b(keys_sorted, base, valid, grid_dhw, kernel_size)
+
+
+def subm_conv3d_b(features, coords, keys_sorted, valid, grid_dhw, weights,
+                  bias=None, rulebook=None):
+    """Batched `subm_conv3d`: features [B, N, Cin] → [B, N, Cout]."""
+    K = weights.shape[0]
+    kernel_size = _round_kernel(K)
+    if rulebook is None:
+        rulebook = subm_rulebook_b(coords, keys_sorted, valid, grid_dhw,
+                                   kernel_size)
+    stacked = gather_taps_rb_b(features, *rulebook)         # [B, K, N, Cin]
+    out = jnp.einsum("bknc,kcd->bnd", stacked,
+                     weights.astype(features.dtype),
+                     preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias
+    return jnp.where(valid[..., None], out, 0.0)
+
+
+def sparse_conv3d_b(features, coords, keys_sorted, valid, grid_dhw, weights,
+                    kernel_size, stride, padding, out_cap, bias=None):
+    """Batched strided sparse conv: candidate generation stays per-example
+    (sort-bound, vmap costs nothing there); the tap gather is flat-batched.
+
+    Returns (out [B, M, Cout], out_coords [B, M, 3], out_keys [B, M],
+    out_valid [B, M], out_grid, n_unique [B])."""
+    def gen(c, v):
+        oc, ov, ok, og, nu = downsample_coords(c, v, grid_dhw, kernel_size,
+                                               stride, padding, out_cap)
+        return oc, ov, ok, nu
+    out_coords, out_valid, out_keys, n_unique = jax.vmap(gen)(coords, valid)
+    grid = np.array(grid_dhw, np.int32)
+    out_grid = tuple(((grid + 2 * np.array(padding, np.int32)
+                       - np.array(kernel_size, np.int32))
+                      // np.array(stride, np.int32) + 1).tolist())
+    base = out_coords * np.array(stride, np.int32) - np.array(padding,
+                                                              np.int32)
+    rulebook = gather_rulebook_b(keys_sorted, base, out_valid, grid_dhw,
+                                 tuple(int(k) for k in kernel_size))
+    stacked = gather_taps_rb_b(features, *rulebook)         # [B, K, M, Cin]
+    out = jnp.einsum("bknc,kcd->bnd", stacked,
+                     weights.astype(features.dtype),
+                     preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias
+    out = jnp.where(out_valid[..., None], out, 0.0)
+    return out, out_coords, out_keys, out_valid, out_grid, n_unique
+
+
 def subm_rulebook(coords, keys_sorted, valid, grid_dhw, kernel_size=(3, 3, 3)):
     """Rulebook for a submanifold conv: shared by EVERY subm conv over the
     same active set (build once per stage; see gather_rulebook)."""

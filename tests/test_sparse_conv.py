@@ -256,3 +256,67 @@ class TestBF16SparseConv:
         np.testing.assert_array_equal(a32 == 0, a16 == 0)
         err = np.abs(a32 - a16).max() / max(np.abs(a32).max(), 1e-6)
         assert err < 0.05, f"bf16 relative error {err:.4f}"
+
+
+class TestBatchedVariants:
+    """Batch-native (flat global-index gather) variants match the vmapped
+    per-example reference implementations exactly."""
+
+    def _batch(self, rng, grid, cap, cin, B=3):
+        cs, fs, vs, ks = [], [], [], []
+        for b in range(B):
+            n = int(rng.integers(cap // 4, cap - 2))
+            c, f, v, k = make_active_set(rng, grid, n, cap, cin)
+            cs.append(c), fs.append(f), vs.append(v), ks.append(k)
+        return (jnp.stack(cs), jnp.stack(fs), jnp.stack(vs), jnp.stack(ks))
+
+    def test_subm_conv_b_matches_vmapped(self):
+        rng = np.random.default_rng(3)
+        grid = (6, 12, 10)
+        coords, feats, valid, keys = self._batch(rng, grid, 64, 5)
+        w = jnp.asarray(rng.normal(0, 0.3, (27, 5, 7)).astype(np.float32))
+        ref = jax.vmap(lambda f, c, k, v: sp.subm_conv3d(
+            f, c, k, v, grid, w))(feats, coords, keys, valid)
+        rb = sp.subm_rulebook_b(coords, keys, valid, grid)
+        got = sp.subm_conv3d_b(feats, coords, keys, valid, grid, w,
+                               rulebook=rb)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_subm_conv_b_builds_own_rulebook(self):
+        rng = np.random.default_rng(4)
+        grid = (4, 9, 11)
+        coords, feats, valid, keys = self._batch(rng, grid, 48, 4, B=2)
+        w = jnp.asarray(rng.normal(0, 0.3, (27, 4, 4)).astype(np.float32))
+        ref = jax.vmap(lambda f, c, k, v: sp.subm_conv3d(
+            f, c, k, v, grid, w))(feats, coords, keys, valid)
+        got = sp.subm_conv3d_b(feats, coords, keys, valid, grid, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    @pytest.mark.parametrize("kernel,stride,padding", [
+        ((3, 3, 3), (2, 2, 2), (1, 1, 1)),
+        ((3, 1, 1), (2, 1, 1), (0, 0, 0)),
+    ])
+    def test_sparse_conv3d_b_matches_vmapped(self, kernel, stride, padding):
+        rng = np.random.default_rng(5)
+        grid = (7, 10, 12)
+        coords, feats, valid, keys = self._batch(rng, grid, 72, 6)
+        K = int(np.prod(kernel))
+        w = jnp.asarray(rng.normal(0, 0.3, (K, 6, 8)).astype(np.float32))
+        cap = 72
+
+        def one(f, c, k, v):
+            out, oc, ok, ov, og, nu = sp.sparse_conv3d(
+                f, c, k, v, grid, w, kernel, stride, padding, cap)
+            return out, oc, ok, ov, nu
+        r_out, r_oc, r_ok, r_ov, r_nu = jax.vmap(one)(feats, coords, keys,
+                                                      valid)
+        g_out, g_oc, g_ok, g_ov, og, g_nu = sp.sparse_conv3d_b(
+            feats, coords, keys, valid, grid, w, kernel, stride, padding,
+            cap)
+        np.testing.assert_array_equal(np.asarray(g_oc), np.asarray(r_oc))
+        np.testing.assert_array_equal(np.asarray(g_ov), np.asarray(r_ov))
+        np.testing.assert_array_equal(np.asarray(g_nu), np.asarray(r_nu))
+        np.testing.assert_allclose(np.asarray(g_out), np.asarray(r_out),
+                                   rtol=1e-5, atol=1e-5)
