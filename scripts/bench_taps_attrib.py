@@ -67,15 +67,14 @@ def main():
                     jnp.bfloat16)
 
     def build(coords, keys, valid):
-        return jax.vmap(lambda c, k, v: sp.subm_rulebook(c, k, v, GRID))(
-            coords, keys, valid)
+        return sp.subm_rulebook_b(coords, keys, valid, GRID)
 
     rb = jax.jit(build)(coords, keys, valid)
     rb = jax.tree.map(lambda a: a, rb)
     timed("rulebook build", build, coords, keys, valid)
 
     def apply_rb(feats, rs, rsel):
-        return jax.vmap(sp.gather_taps_rb)(feats, rs, rsel)
+        return sp.gather_taps_rb_b(feats, rs, rsel)
 
     timed("gather_taps_rb (apply)", apply_rb, feats, *rb)
 
@@ -89,9 +88,8 @@ def main():
     timed("einsum contract", contract, stacked, w)
 
     def conv_rb(feats, coords, keys, valid, rs, rsel):
-        return jax.vmap(lambda f, c, k, v, a, s: sp.subm_conv3d(
-            f, c, k, v, GRID, w, rulebook=(a, s)))(
-                feats, coords, keys, valid, rs, rsel)
+        return sp.subm_conv3d_b(feats, coords, keys, valid, GRID, w,
+                                rulebook=(rs, rsel))
 
     timed("subm_conv3d (with rb)", conv_rb, feats, coords, keys, valid, *rb)
 
@@ -108,28 +106,26 @@ def main():
     safe = rb[0]
 
     def probe_gather(aug, safe):
-        return jax.vmap(lambda a, s: a[s])(aug, safe)
+        return sp.flat_rows(aug, safe)
 
     timed("wide gather aug[safe]", probe_gather, aug, safe)
 
     gathered = jax.jit(probe_gather)(aug, safe)
 
     def probe_select(gathered, rsel):
-        def one(g, sel):
-            G, Q, kxC = g.shape
-            kx = sel.shape[-1]
-            C_ = kxC // kx
-            g4 = g.reshape(G, Q, kx, C_)
-            out = []
-            for k in range(27):
-                gi = k // kx
-                feat = jnp.zeros((Q, C_), g.dtype)
-                for i in range(kx):
-                    feat = jnp.where(sel[k, :, i][:, None], g4[gi, :, i],
-                                     feat)
-                out.append(feat)
-            return jnp.stack(out)
-        return jax.vmap(one)(gathered, rsel)
+        B_, G, Q, kxC = gathered.shape
+        kx = rsel.shape[-1]
+        C_ = kxC // kx
+        g4 = gathered.reshape(B_, G, Q, kx, C_)
+        out = []
+        for k in range(27):
+            gi = k // kx
+            feat = jnp.zeros((B_, Q, C_), gathered.dtype)
+            for i in range(kx):
+                feat = jnp.where(rsel[:, k, :, i][..., None],
+                                 g4[:, gi, :, i], feat)
+            out.append(feat)
+        return jnp.stack(out, 1)
 
     timed("tap select+stack", probe_select, gathered, rb[1])
 

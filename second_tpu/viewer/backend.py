@@ -24,16 +24,32 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
+def _project_box_corners(boxes_lidar, rect, velo2cam, P2):
+    """Lidar boxes [N, 7] → image-plane wireframe corners [N, 8, 2] px
+    (the reference frontend's boxEdges projection,
+    `kittiviewer/frontend/js/KittiViewer.js` image overlay row)."""
+    from ..core import box_np
+    boxes_lidar = np.asarray(boxes_lidar, np.float64).reshape(-1, 7)
+    if len(boxes_lidar) == 0:
+        return np.zeros((0, 8, 2))
+    cam = box_np.box_lidar_to_camera(boxes_lidar, rect, velo2cam)
+    corners = box_np.center_to_corner_box3d(
+        cam[:, :3], cam[:, 3:6], cam[:, 6], origin=(0.5, 1.0, 0.5), axis=1)
+    pts = box_np.project_to_image(corners.reshape(-1, 3), P2)
+    return pts.reshape(-1, 8, 2)
+
+
 class BackendState:
     def __init__(self):
         self.dataset = None
         self.ctx = None
+        self.calib = None           # (rect, velo2cam, P2) of the last frame
 
     # -- handlers -----------------------------------------------------------
     def readinfo(self, req):
         from ..data.kitti_dataset import KittiDataset
         self.dataset = KittiDataset(req["info_path"], req["root_path"],
-                                    training=False)
+                                    training=False, load_image=True)
         idx = [info["image_idx"] for info in self.dataset.kitti_infos]
         return {"image_indexes": idx}
 
@@ -44,6 +60,25 @@ class BackendState:
         if "gt_boxes" in scene:
             out["gt_boxes"] = scene["gt_boxes"].tolist()
             out["gt_names"] = list(map(str, scene["gt_names"]))
+        self.calib = None
+        if all(f"calib/{k}" in scene for k in
+               ("R0_rect", "Tr_velo_to_cam", "P2")):
+            self.calib = (scene["calib/R0_rect"],
+                          scene["calib/Tr_velo_to_cam"], scene["calib/P2"])
+            if "gt_boxes" in scene and len(scene["gt_boxes"]):
+                out["gt_image_corners"] = _project_box_corners(
+                    scene["gt_boxes"], *self.calib).round(1).tolist()
+        img = scene.get("image")
+        if img is not None:
+            import base64
+            import io
+            from PIL import Image
+            arr = np.asarray(img)
+            if arr.dtype != np.uint8:
+                arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG", quality=85)
+            out["image_b64"] = base64.b64encode(buf.getvalue()).decode()
         return out
 
     def build_network(self, req):
@@ -62,9 +97,13 @@ class BackendState:
 
     def _detect(self, points):
         det = self.ctx.inference(points)
-        return {"dt_boxes": det["boxes"].round(3).tolist(),
-                "dt_scores": det["scores"].round(4).tolist(),
-                "dt_names": det["class_names"]}
+        out = {"dt_boxes": det["boxes"].round(3).tolist(),
+               "dt_scores": det["scores"].round(4).tolist(),
+               "dt_names": det["class_names"]}
+        if self.calib is not None and len(det["boxes"]):
+            out["dt_image_corners"] = _project_box_corners(
+                det["boxes"], *self.calib).round(1).tolist()
+        return out
 
 
 def make_handler(state: BackendState):

@@ -327,3 +327,29 @@ class TestViewerFrontend:
                 assert e.code == 404
         finally:
             server.shutdown()
+
+
+class TestImageOverlay:
+    def test_project_box_corners(self):
+        """Lidar box -> 8 image-plane wireframe corners (frontend overlay)."""
+        from second_tpu.viewer.backend import _project_box_corners
+        rect = np.eye(4)
+        # velodyne (x fwd, y left, z up) -> camera (x right, y down, z fwd)
+        velo2cam = np.array([[0, -1, 0, 0],
+                             [0, 0, -1, 0],
+                             [1, 0, 0, 0],
+                             [0, 0, 0, 1.0]])
+        P2 = np.array([[700.0, 0, 600, 0],
+                       [0, 700, 180, 0],
+                       [0, 0, 1, 0],
+                       [0, 0, 0, 1.0]])
+        boxes = np.array([[10.0, 0.0, -1.0, 1.6, 3.9, 1.56, 0.3]])
+        pts = _project_box_corners(boxes, rect, velo2cam, P2)
+        assert pts.shape == (1, 8, 2)
+        assert np.isfinite(pts).all()
+        # centered box ahead of the camera lands near the principal point
+        cx, cy = pts[0].mean(0)
+        assert abs(cx - 600) < 200 and abs(cy - 180) < 200
+        # empty input
+        assert _project_box_corners(np.zeros((0, 7)), rect, velo2cam,
+                                    P2).shape == (0, 8, 2)
