@@ -184,18 +184,27 @@ class SyntheticDataset:
     """
 
     def __init__(self, size=256, seed=0, with_image=False,
-                 image_shape=(192, 624), scan=False, **scene_kwargs):
+                 image_shape=(192, 624), scan=False, cache=True,
+                 **scene_kwargs):
         self._size = size
         self._seed = seed
         self._with_image = with_image
         self._image_shape = tuple(image_shape)
         self._scan = scan
         self._scene_kwargs = scene_kwargs
+        # scenes are deterministic per idx, so caching changes nothing
+        # semantically (per-example augmentation happens in ExamplePrep) but
+        # removes scene regeneration from the train-loop host path — on this
+        # 1-core host scan-scene generation is ~0.5 s/scene, the dominant
+        # step cost when uncached
+        self._cache: dict | None = {} if cache else None
 
     def __len__(self):
         return self._size
 
     def __getitem__(self, idx):
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx]
         rng = np.random.default_rng(self._seed * 100003 + idx)
         if self._scan:
             kwargs = {k: v for k, v in self._scene_kwargs.items()
@@ -220,6 +229,8 @@ class SyntheticDataset:
             scene["calib/R0_rect"] = rect
             scene["calib/Tr_velo_to_cam"] = velo2cam
             scene["calib/P2"] = P2
+        if self._cache is not None:
+            self._cache[idx] = scene
         return scene
 
 
