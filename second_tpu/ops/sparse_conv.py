@@ -276,9 +276,44 @@ def _select_bucket_rows_b(keys_sorted, bucket, nb, block):
     return rows
 
 
-def lookup_rank_b(keys_sorted, query_keys, block: int = 128):
+# Grids at or below this cell count resolve ranks through a dense
+# cumulative-count map (one scatter + cumsum per stage, then narrow
+# gathers) instead of the one-hot bucket matmuls — cheaper once the map
+# fits comfortably in HBM. The fhd stage-1 grid (21*800*704 ≈ 11.8M cells)
+# is the intended largest user; stage 0 (92M cells) stays on the bucket
+# path.
+DENSE_RANK_MAX_CELLS = 16_000_000
+
+
+def _dense_rank_b(keys_sorted, query_keys, n_cells: int):
+    """rank[b, ...] = #{valid keys of example b < query} via an exclusive
+    cumulative count over the dense cell grid. keys_sorted [B, N] (sentinel
+    = n_cells on padded rows), query_keys [B, ...] (may hold sentinel)."""
+    B, N = keys_sorted.shape
+    valid = keys_sorted < n_cells
+    tgt = jnp.where(valid, keys_sorted, n_cells)
+    off = (jnp.arange(B, dtype=jnp.int32) * (n_cells + 1))[:, None]
+    pres = jnp.zeros((B * (n_cells + 1),), jnp.int32).at[
+        (tgt + off).reshape(-1)].add(1, mode="drop")
+    pres = pres.reshape(B, n_cells + 1)[:, :n_cells]
+    cum = jnp.cumsum(pres, axis=-1)                 # inclusive: #keys <= c
+    # exclusive rank at cell c = cum[c-1]; sentinel queries → total count
+    n_valid = valid.sum(-1).astype(jnp.int32)       # [B]
+    qc = jnp.clip(query_keys - 1, 0, n_cells - 1)
+    ranks = flat_rows(cum[..., None], qc)[..., 0]
+    ranks = jnp.where(query_keys <= 0, 0, ranks)
+    shape = (B,) + (1,) * (query_keys.ndim - 1)
+    return jnp.where(query_keys >= n_cells, n_valid.reshape(shape),
+                     ranks).astype(jnp.int32)
+
+
+def lookup_rank_b(keys_sorted, query_keys, block: int = 128,
+                  n_cells: int = 0):
     """Batched `lookup_rank`: keys_sorted [B, N], query_keys [B, G, Q] →
-    ranks [B, G, Q]."""
+    ranks [B, G, Q]. With `n_cells` in (0, DENSE_RANK_MAX_CELLS] the dense
+    cumulative-count path is used (see `_dense_rank_b`)."""
+    if 0 < n_cells <= DENSE_RANK_MAX_CELLS:
+        return _dense_rank_b(keys_sorted, query_keys, n_cells)
     B, G, Q = query_keys.shape
     N = keys_sorted.shape[1]
     while N % block:
@@ -313,7 +348,7 @@ def gather_rulebook_b(keys_sorted, base_coords, base_valid, grid_dhw,
             masks.append(inb)
     qk = jnp.stack(qks, axis=1)                            # [B, kz*ky, Q]
     zy_ok = jnp.stack(masks, axis=1)
-    rank = lookup_rank_b(keys_sorted, qk)
+    rank = lookup_rank_b(keys_sorted, qk, n_cells=sen)
     safe = jnp.clip(rank, 0, N - 1)
     rank_ok = rank < N
 

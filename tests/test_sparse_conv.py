@@ -320,3 +320,18 @@ class TestBatchedVariants:
         np.testing.assert_array_equal(np.asarray(g_nu), np.asarray(r_nu))
         np.testing.assert_allclose(np.asarray(g_out), np.asarray(r_out),
                                    rtol=1e-5, atol=1e-5)
+
+    def test_lookup_rank_paths_agree(self):
+        """Dense cumulative-count ranks == bucket-matmul ranks == reference
+        per-example ranks (incl. sentinel and below-range queries)."""
+        rng = np.random.default_rng(9)
+        grid = (5, 11, 13)
+        sen = int(np.prod(grid))
+        coords, feats, valid, keys = self._batch(rng, grid, 64, 3, B=2)
+        q = rng.integers(-1, sen + 1, (2, 4, 64)).astype(np.int32)
+        q = jnp.asarray(np.where(q < 0, sen, q))
+        ref = jax.vmap(sp.lookup_rank)(keys, q)
+        dense = sp.lookup_rank_b(keys, q, n_cells=sen)
+        bucket = sp.lookup_rank_b(keys, q, n_cells=0)
+        np.testing.assert_array_equal(np.asarray(dense), np.asarray(ref))
+        np.testing.assert_array_equal(np.asarray(bucket), np.asarray(ref))
