@@ -25,6 +25,7 @@ Overflow beyond a stage capacity drops the largest keys (deterministic).
 from __future__ import annotations
 
 import itertools
+import os
 from functools import partial
 from typing import Sequence, Tuple
 
@@ -278,11 +279,13 @@ def _select_bucket_rows_b(keys_sorted, bucket, nb, block):
 
 # Grids at or below this cell count resolve ranks through a dense
 # cumulative-count map (one scatter + cumsum per stage, then narrow
-# gathers) instead of the one-hot bucket matmuls — cheaper once the map
-# fits comfortably in HBM. The fhd stage-1 grid (21*800*704 ≈ 11.8M cells)
-# is the intended largest user; stage 0 (92M cells) stays on the bucket
-# path.
-DENSE_RANK_MAX_CELLS = 16_000_000
+# gathers) instead of the one-hot bucket matmuls. Candidate largest user:
+# the fhd stage-1 grid (21*800*704 ≈ 11.8M cells); stage 0 (92M cells)
+# always stays on the bucket path. Default 0 (disabled): XLA-TPU cumsum
+# throughput over ~10M-cell maps is unmeasured — flip via
+# SECOND_TPU_DENSE_RANK_CELLS once benched faster than the bucket matmuls.
+DENSE_RANK_MAX_CELLS = int(os.environ.get("SECOND_TPU_DENSE_RANK_CELLS",
+                                          "0"))
 
 
 def _dense_rank_b(keys_sorted, query_keys, n_cells: int):

@@ -331,7 +331,7 @@ class TestBatchedVariants:
         q = rng.integers(-1, sen + 1, (2, 4, 64)).astype(np.int32)
         q = jnp.asarray(np.where(q < 0, sen, q))
         ref = jax.vmap(sp.lookup_rank)(keys, q)
-        dense = sp.lookup_rank_b(keys, q, n_cells=sen)
+        dense = sp._dense_rank_b(keys, q, sen)
         bucket = sp.lookup_rank_b(keys, q, n_cells=0)
         np.testing.assert_array_equal(np.asarray(dense), np.asarray(ref))
         np.testing.assert_array_equal(np.asarray(bucket), np.asarray(ref))
