@@ -116,7 +116,28 @@ def _vox_kwargs(vspec, points, points_mask):
                 train=False)
 
 
+def _watchdog(seconds: float):
+    """The tunneled TPU claim can wedge (blocks ~25 min per attempt, then
+    UNAVAILABLE — see .claude/skills/verify/SKILL.md). Emit an honest,
+    parseable failure line instead of hanging the harness forever."""
+    import json as _json
+    import os as _os
+    import threading
+    import time as _time
+
+    def fire():
+        _time.sleep(seconds)
+        print(_json.dumps({
+            "metric": "kitti_fhd_frames_per_sec_per_chip_e2e",
+            "value": 0.0, "unit": "frames/s", "vs_baseline": 0.0,
+            "error": f"TPU unavailable: bench did not finish within "
+                     f"{int(seconds)}s (wedged claim?)"}), flush=True)
+        _os._exit(2)
+    threading.Thread(target=fire, daemon=True).start()
+
+
 def main():
+    _watchdog(float(os.environ.get("BENCH_WATCHDOG_SECS", "2700")))
     # fhd runs at the reference's EVAL voxel capacity (40k, config `:198`;
     # the 16k figure is the reference's train-time memory cap) so the benched
     # workload is the full scene: voxel_overflow must be 0 in the output.
