@@ -373,16 +373,11 @@ class MaxPoolBlock(nn.Module):
 
     @nn.compact
     def __call__(self, feats, coords, keys, valid, train: bool = False):
-        def one(f, c, k, v):
-            out, oc, ok, ov, og, nu = sp.sparse_max_pool3d(
-                f, c, k, v, self.grid_dhw, self.kernel_size, self.out_cap)
-            return out, oc, ok, ov, nu
-        out, oc, ok, ov, nu = jax.vmap(one)(feats, coords, keys, valid)
+        out, oc, ok, ov, out_grid, nu = sp.sparse_max_pool3d_b(
+            feats, coords, keys, valid, self.grid_dhw, self.kernel_size,
+            self.out_cap)
         self.sow("intermediates", "stage_overflow",
                  jnp.maximum(nu - self.out_cap, 0).sum())
-        out_grid = tuple(
-            ((np.array(self.grid_dhw) - np.array(self.kernel_size))
-             // np.array(self.kernel_size) + 1).tolist())
         return out, oc, ok, ov, out_grid
 
 

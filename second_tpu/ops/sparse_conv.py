@@ -414,6 +414,62 @@ def subm_conv3d_b(features, coords, keys_sorted, valid, grid_dhw, weights,
     return jnp.where(valid[..., None], out, 0.0)
 
 
+def lookup_many_b(keys_sorted, query_keys, query_valid, block: int = 128):
+    """Batched `lookup_many`: exact-match lookup of [B, K, Q] query sets.
+    Returns (idx [B, K, Q] int32, found [B, K, Q] bool)."""
+    B, K, Q = query_keys.shape
+    N = keys_sorted.shape[1]
+    while N % block:
+        block //= 2
+    nb = N // block
+    q = query_keys.reshape(B, K * Q)
+    pivots = keys_sorted[:, ::block]
+    ge = (q[:, :, None] >= pivots[:, None, :])
+    bucket = jnp.clip(ge.sum(-1) - 1, 0, nb - 1).astype(jnp.int32)
+    rows = _select_bucket_rows_b(keys_sorted, bucket, nb, block)
+    eq = rows == q[..., None]
+    slot = eq.argmax(-1).astype(jnp.int32)
+    found = eq.any(-1)
+    idx = bucket * block + slot
+    return (idx.reshape(B, K, Q),
+            found.reshape(B, K, Q) & query_valid)
+
+
+def sparse_max_pool3d_b(features, coords, keys_sorted, valid, grid_dhw,
+                        kernel_size, out_cap, stride=None, padding=(0, 0, 0)):
+    """Batched `sparse_max_pool3d`: per-example output-site generation
+    (sort-bound), batched lookup + ONE flat tap gather."""
+    if stride is None:
+        stride = kernel_size
+
+    def gen(c, v):
+        oc, ov, ok, og, nu = downsample_coords(c, v, grid_dhw, kernel_size,
+                                               stride, padding, out_cap)
+        return oc, ov, ok, nu
+    out_coords, out_valid, out_keys, n_unique = jax.vmap(gen)(coords, valid)
+    grid = np.array(grid_dhw, np.int32)
+    out_grid = tuple(((grid + 2 * np.array(padding, np.int32)
+                       - np.array(kernel_size, np.int32))
+                      // np.array(stride, np.int32) + 1).tolist())
+    sen = sentinel(grid_dhw)
+    offs = _offsets(tuple(int(k) for k in kernel_size))
+    K = offs.shape[0]
+    qks, inbs = [], []
+    for o in range(K):
+        ic = out_coords * np.array(stride, np.int32) \
+            - np.array(padding, np.int32) + offs[o]
+        inb = ((ic >= 0) & (ic < grid)).all(-1) & out_valid
+        qks.append(jnp.where(inb, linearize(ic, grid_dhw), sen))
+        inbs.append(inb)
+    idx, found = lookup_many_b(keys_sorted, jnp.stack(qks, 1),
+                               jnp.stack(inbs, 1))
+    gathered = flat_rows(features, idx)                  # [B, K, M, C]
+    neg = jnp.finfo(features.dtype).min
+    out = jnp.where(found[..., None], gathered, neg).max(1)
+    out = jnp.where(out_valid[..., None], out, 0.0)
+    return out, out_coords, out_keys, out_valid, out_grid, n_unique
+
+
 def sparse_conv3d_b(features, coords, keys_sorted, valid, grid_dhw, weights,
                     kernel_size, stride, padding, out_cap, bias=None):
     """Batched strided sparse conv: candidate generation stays per-example

@@ -335,3 +335,23 @@ class TestBatchedVariants:
         bucket = sp.lookup_rank_b(keys, q, n_cells=0)
         np.testing.assert_array_equal(np.asarray(dense), np.asarray(ref))
         np.testing.assert_array_equal(np.asarray(bucket), np.asarray(ref))
+
+    def test_sparse_max_pool3d_b_matches_vmapped(self):
+        rng = np.random.default_rng(11)
+        grid = (6, 8, 10)
+        coords, feats, valid, keys = self._batch(rng, grid, 48, 5)
+        cap = 48
+        kernel = (2, 1, 1)
+
+        def one(f, c, k, v):
+            out, oc, ok, ov, og, nu = sp.sparse_max_pool3d(
+                f, c, k, v, grid, kernel, cap)
+            return out, oc, ov, nu
+        r_out, r_oc, r_ov, r_nu = jax.vmap(one)(feats, coords, keys, valid)
+        g_out, g_oc, g_ok, g_ov, og, g_nu = sp.sparse_max_pool3d_b(
+            feats, coords, keys, valid, grid, kernel, cap)
+        np.testing.assert_array_equal(np.asarray(g_oc), np.asarray(r_oc))
+        np.testing.assert_array_equal(np.asarray(g_ov), np.asarray(r_ov))
+        np.testing.assert_array_equal(np.asarray(g_nu), np.asarray(r_nu))
+        np.testing.assert_allclose(np.asarray(g_out), np.asarray(r_out),
+                                   rtol=1e-6, atol=1e-6)
