@@ -249,14 +249,24 @@ class SequenceStitcher:
         self.frames_det.clear()
         self.last_id = -1
 
-    @staticmethod
-    def _same_det(det_a: dict, i: int, det_b: dict, j: int) -> bool:
+    # overlap-frame detections come from two window evaluations of the SAME
+    # frame, so they should coincide — but post-processing may differ at
+    # float precision between windows; pair by proximity, not bit-equality
+    MATCH_TOL = 0.5          # metres on location / px on bbox corners
+
+    @classmethod
+    def _same_det(cls, det_a: dict, i: int, det_b: dict, j: int) -> bool:
+        matched_any = False
         for key in ("location", "bbox"):
             if key in det_a and key in det_b:
                 a, b = np.asarray(det_a[key]), np.asarray(det_b[key])
-                if len(a) and len(b) and not np.array_equal(a[i], b[j]):
-                    return False
-        return True
+                if len(a) and len(b):
+                    if np.abs(np.asarray(a[i], np.float64) -
+                              np.asarray(b[j], np.float64)).max() \
+                            > cls.MATCH_TOL:
+                        return False
+                    matched_any = True
+        return matched_any or not ("location" in det_a or "bbox" in det_a)
 
     def _bump(self, ids) -> None:
         for arr in ids:
