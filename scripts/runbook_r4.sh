@@ -1,0 +1,46 @@
+#!/bin/bash
+# Chip-return runbook: serial TPU work in priority order. Never kill any
+# step — each is bounded by its own iteration counts.
+set -x
+cd /root/repo
+mkdir -p /tmp/rb
+
+# 1. Confirm current code benches (headline number with flat gathers)
+python bench.py > /tmp/rb/bench_base.log 2>&1
+
+# 2. A/B the dense-rank path
+SECOND_TPU_DENSE_RANK_CELLS=16000000 python bench.py > /tmp/rb/bench_dense.log 2>&1
+
+# 3. fhd OneCycle training (north-star accuracy experiment), resumable
+python -m second_tpu.train.run train \
+  --config_path second_tpu/configs/second_car_fhd_onecycle.config \
+  --model_dir /tmp/fhd_oc2 --synthetic --dataset_size 128 --steps 2500 \
+  --patchs "train_input_reader.batch_size=2" \
+  --patchs "train_config.steps_per_eval=0" \
+  --patchs "train_config.save_checkpoints_secs=420" \
+  > /tmp/rb/fhd_train.log 2>&1
+
+# 4. Evaluate it (official AP on held-out synthetic scans)
+python -m second_tpu.train.run evaluate \
+  --config_path second_tpu/configs/second_car_fhd_onecycle.config \
+  --model_dir /tmp/fhd_oc2 --synthetic --dataset_size 128 --max_frames 64 \
+  > /tmp/rb/fhd_eval.log 2>&1
+
+# 5. PointPillars comparison at its round-2 recipe (1500 steps OneCycle)
+python -m second_tpu.train.run train \
+  --config_path second_tpu/configs/pointpillars_car.config \
+  --model_dir /tmp/pp_oc2 --synthetic --dataset_size 128 --steps 1500 \
+  --patchs "train_input_reader.batch_size=2" \
+  --patchs "train_config.steps_per_eval=0" \
+  --patchs "train_config.save_checkpoints_secs=420" \
+  > /tmp/rb/pp_train.log 2>&1
+python -m second_tpu.train.run evaluate \
+  --config_path second_tpu/configs/pointpillars_car.config \
+  --model_dir /tmp/pp_oc2 --synthetic --dataset_size 128 --max_frames 64 \
+  > /tmp/rb/pp_eval.log 2>&1
+
+# 6. Attribution benches (middle stages + predict)
+python scripts/bench_middle_stages.py > /tmp/rb/middle_stages.log 2>&1
+python scripts/bench_predict_attrib.py > /tmp/rb/predict_attrib.log 2>&1
+
+echo RUNBOOK_DONE

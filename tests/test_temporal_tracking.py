@@ -533,3 +533,23 @@ class TestStitcherTolerance:
         out = st.update([np.array([3]), np.array([3])], [det0b, det1],
                         [0, 1])
         assert out[-1][0] != 0      # got a fresh global id, not det0's
+
+
+class TestTemporalFusionCLI:
+    @pytest.mark.slow
+    def test_trainer_temporal_fusion_e2e(self, tmp_path):
+        """--model_type temporal_fusion: the complete spatio model trains
+        (finite loss, steps advance) and evaluates through the CLI path."""
+        from second_tpu.testing import TINY_PIPELINE
+        from second_tpu.train.run import Trainer
+        cfg_path = tmp_path / "tiny.config"
+        cfg_path.write_text(TINY_PIPELINE)
+        trainer = Trainer(cfg_path, tmp_path / "run", synthetic=True,
+                          dataset_size=8, max_points=2000, total_steps=2,
+                          model_type="temporal_fusion",
+                          patches=["train_input_reader.batch_size=2"],
+                          image_hw=(48, 96))
+        state = trainer.train(2)
+        assert int(state.step) == 2
+        detail = trainer.evaluate(state, max_frames=4)
+        assert any("/3d" in k for k in detail)
