@@ -17,7 +17,10 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:                                   # jax >= 0.8
+    from jax import shard_map
+except ImportError:                    # older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..models.detector import DetectorSpec, predict
 from ..train.state import VoxelizeSpec, device_voxelize

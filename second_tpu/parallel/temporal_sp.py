@@ -18,7 +18,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:                                   # jax >= 0.8
+    from jax import shard_map
+except ImportError:                    # older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..models.temporal import TemporalSequenceVoxelNet
 
