@@ -17,10 +17,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-try:                                   # jax >= 0.8
-    from jax import shard_map
-except ImportError:                    # older jax
-    from jax.experimental.shard_map import shard_map
+from jax import shard_map              # stable API (jax >= 0.8)
 
 from ..models.detector import DetectorSpec, predict
 from ..train.state import VoxelizeSpec, device_voxelize
@@ -67,7 +64,7 @@ def make_dp_eval_step(spec: DetectorSpec, vspec: VoxelizeSpec, mesh: Mesh,
             mesh=mesh,
             in_specs=(P(), P(axis_name), P(axis_name), P(axis_name)),
             out_specs=(P(axis_name), P()),
-            check_rep=False)
+            check_vma=False)
         return jax.jit(fn)(variables, batch["points"], batch["points_mask"],
                            batch["anchors"])
 

@@ -18,10 +18,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-try:                                   # jax >= 0.8
-    from jax import shard_map
-except ImportError:                    # older jax
-    from jax.experimental.shard_map import shard_map
+from jax import shard_map              # stable API (jax >= 0.8)
 
 from ..models.temporal import TemporalSequenceVoxelNet
 
@@ -56,5 +53,5 @@ def make_sp_sequence_forward(module: TemporalSequenceVoxelNet, mesh: Mesh,
 
     fn = shard_map(shard_fn, mesh=mesh,
                    in_specs=(P(), P(axis_name), P()),
-                   out_specs=P(axis_name), check_rep=False)
+                   out_specs=P(axis_name), check_vma=False)
     return jax.jit(fn)
