@@ -186,6 +186,8 @@ class TargetAssigner:
         prune_fn = None
         if anchors_mask is not None:
             prune_fn = lambda _: np.where(anchors_mask)[0]
+        if gt_classes is None:     # reference target_ops.py:31 defaults to 1s
+            gt_classes = np.ones(len(gt_boxes), dtype=np.int32)
 
         targets_list = []
         feature_map_size = None

@@ -58,6 +58,10 @@ class KittiDataset:
     def kitti_infos(self):
         return self._infos
 
+    @property
+    def root_path(self):
+        return self._root
+
     def __len__(self):
         return len(self._infos)
 

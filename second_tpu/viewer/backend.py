@@ -7,7 +7,13 @@ frontend), built on the stdlib http.server (flask is not in this image).
 
 Endpoints (POST JSON):
     /api/readinfo          {"info_path", "root_path"} → frame index list
-    /api/get_pointcloud    {"image_idx"} → points (+gt boxes if labeled)
+    /api/read_detection    {"det_path"} → load saved detections (pkl of anno
+                           dicts, or a KITTI label dir) for overlay
+                           (reference backend.py:81-101)
+    /api/get_pointcloud    {"image_idx", "with_det"?} → points (+gt boxes if
+                           labeled, +dt boxes if read_detection loaded)
+    /api/get_image         {"image_idx"} → raw camera image as a base64 data
+                           URI (reference backend.py:184-219)
     /api/build_network     {"config_path", "model_dir"} → ok
     /api/inference_by_idx  {"image_idx"} → detections
     /api/inference_points  {"points": [[x,y,z,i], ...]} → detections
@@ -44,6 +50,7 @@ class BackendState:
         self.dataset = None
         self.ctx = None
         self.calib = None           # (rect, velo2cam, P2) of the last frame
+        self.dt_annos = None        # loaded by read_detection, index-aligned
 
     # -- handlers -----------------------------------------------------------
     def readinfo(self, req):
@@ -52,6 +59,43 @@ class BackendState:
                                     training=False, load_image=True)
         idx = [info["image_idx"] for info in self.dataset.kitti_infos]
         return {"image_indexes": idx}
+
+    def read_detection(self, req):
+        """Load saved detections for overlay: a pickle of per-frame KITTI
+        anno dicts (what `run.py evaluate` writes) or a directory of KITTI
+        label txt files (reference `kittiviewer/backend.py:81-101`)."""
+        import pathlib
+        import pickle
+        from ..data import kitti
+        if self.dataset is None:
+            raise RuntimeError("call readinfo first")
+        det_path = pathlib.Path(req["det_path"])
+        if det_path.is_file():
+            with open(det_path, "rb") as f:
+                self.dt_annos = pickle.load(f)
+        else:
+            idx = [info["image_idx"] for info in self.dataset.kitti_infos]
+            self.dt_annos = kitti.get_label_annos(det_path, image_ids=idx)
+        return {"num_frames": len(self.dt_annos)}
+
+    def _frame_pos(self, image_idx):
+        idxes = [info["image_idx"] for info in self.dataset.kitti_infos]
+        return idxes.index(int(image_idx))
+
+    def get_image(self, req):
+        """Raw camera image of a frame as a base64 data URI (reference
+        `kittiviewer/backend.py:184-219` sends the on-disk file bytes)."""
+        import base64
+        import pathlib
+        if self.dataset is None:
+            raise RuntimeError("call readinfo first")
+        info = self.dataset.kitti_infos[self._frame_pos(req["image_idx"])]
+        img_path = info.get("img_path", "")
+        if not img_path:
+            raise RuntimeError("frame has no image")
+        path = pathlib.Path(self.dataset.root_path) / img_path
+        data = base64.b64encode(path.read_bytes()).decode()
+        return {"image_b64": f"data:image/{path.suffix[1:]};base64,{data}"}
 
     def get_pointcloud(self, req):
         scene = self.dataset[int(req["image_idx"])]
@@ -68,6 +112,28 @@ class BackendState:
             if "gt_boxes" in scene and len(scene["gt_boxes"]):
                 out["gt_image_corners"] = _project_box_corners(
                     scene["gt_boxes"], *self.calib).round(1).tolist()
+        if req.get("with_det"):
+            if self.dt_annos is None:
+                raise RuntimeError("call read_detection first")
+            from ..core import box_np
+            anno = self.dt_annos[self._frame_pos(req["image_idx"])]
+            if len(anno["name"]):
+                cam = np.concatenate(
+                    [anno["location"], anno["dimensions"],
+                     anno["rotation_y"][:, None]], axis=1)
+                rect = scene["calib/R0_rect"]
+                Trv2c = scene["calib/Tr_velo_to_cam"]
+                dt_boxes = box_np.box_camera_to_lidar(cam, rect, Trv2c)
+            else:
+                dt_boxes = np.zeros((0, 7))
+            out["dt_boxes"] = dt_boxes.round(3).tolist()
+            out["dt_names"] = list(map(str, anno["name"]))
+            if "score" in anno:
+                out["dt_scores"] = np.asarray(
+                    anno["score"]).round(4).tolist()
+            if self.calib is not None and len(dt_boxes):
+                out["dt_image_corners"] = _project_box_corners(
+                    dt_boxes, *self.calib).round(1).tolist()
         img = scene.get("image")
         if img is not None:
             import base64
@@ -109,6 +175,8 @@ class BackendState:
 def make_handler(state: BackendState):
     routes = {
         "/api/readinfo": state.readinfo,
+        "/api/read_detection": state.read_detection,
+        "/api/get_image": state.get_image,
         "/api/get_pointcloud": state.get_pointcloud,
         "/api/build_network": state.build_network,
         "/api/inference_by_idx": state.inference_by_idx,

@@ -309,3 +309,54 @@ class TestCreateDataAndDataset:
             open(written[0]).read().splitlines())
         assert parsed["calib/P2"].shape == (4, 4)
         assert parsed["calib/Tr_velo_to_cam"][0, 1] == -1.0
+
+
+class TestViewerDetectionEndpoints:
+    def test_read_detection_get_image(self, fake_kitti):
+        """Viewer endpoint parity: read_detection (label-dir AND pkl forms) +
+        get_image + get_pointcloud with_det overlay (reference
+        kittiviewer/backend.py:81-101, 184-219)."""
+        import pickle
+
+        from second_tpu.data import kitti_dataset as kd
+        from second_tpu.viewer.backend import BackendState
+
+        kd.create_kitti_info_file(fake_kitti)
+        state = BackendState()
+        out = state.readinfo({
+            "info_path": str(fake_kitti / "kitti_infos_train.pkl"),
+            "root_path": str(fake_kitti)})
+        assert out["image_indexes"] == [0, 1]
+
+        # label-dir form: reuse the gt labels as "detections"
+        out = state.read_detection(
+            {"det_path": str(fake_kitti / "training" / "label_2")})
+        assert out["num_frames"] == 2
+        pc = state.get_pointcloud({"image_idx": 0, "with_det": True})
+        assert len(pc["dt_boxes"]) == len(pc["dt_names"])
+        assert len(pc["dt_boxes"]) >= 2
+        assert all(len(b) == 7 for b in pc["dt_boxes"])
+        # detections land where the gt boxes are (same labels)
+        gt = np.asarray(pc["gt_boxes"])
+        dt = np.asarray([b for b, n in zip(pc["dt_boxes"], pc["dt_names"])
+                         if n != "DontCare"])
+        for g in gt:
+            assert np.abs(dt[:, :3] - g[:3]).sum(1).min() < 1e-3
+        assert "dt_image_corners" in pc
+
+        # pkl form (what evaluate writes): per-frame anno dicts with scores
+        annos = state.dt_annos
+        for a in annos:
+            a["score"] = np.linspace(0.9, 0.5, len(a["name"]))
+        det_pkl = fake_kitti / "det.pkl"
+        with open(det_pkl, "wb") as f:
+            pickle.dump(annos, f)
+        out = state.read_detection({"det_path": str(det_pkl)})
+        assert out["num_frames"] == 2
+        pc = state.get_pointcloud({"image_idx": 1, "with_det": True})
+        assert "dt_scores" in pc and max(pc["dt_scores"]) <= 0.9
+
+        # get_image returns a data-URI of the on-disk png
+        img = state.get_image({"image_idx": 0})
+        assert img["image_b64"].startswith("data:image/png;base64,")
+        assert len(img["image_b64"]) > 100
