@@ -23,7 +23,7 @@ import numpy as np
 
 from ..core import box_np
 from .kitti import parse_calib_lines
-from .synthetic import sample_sequence
+from .synthetic import render_synthetic_image, sample_sequence, synthetic_calib
 
 
 # ---------------------------------------------------------------------------
@@ -265,12 +265,17 @@ class TrackingPairDataset:
 
 class SyntheticTrackingDataset:
     """Sequences of moving synthetic scenes with persistent track ids — the
-    stand-in for :class:`KittiTrackingDataset`."""
+    stand-in for :class:`KittiTrackingDataset`. With `with_image=True` every
+    frame carries a synthetic camera render + calib keys, so the tracker's
+    appearance branch sees camera crops (the reference's modality)."""
 
-    def __init__(self, size=32, seed=0, num_frames=4, **seq_kwargs):
+    def __init__(self, size=32, seed=0, num_frames=4, with_image=False,
+                 image_shape=(192, 624), **seq_kwargs):
         self._size = size
         self._seed = seed
         self._num_frames = num_frames
+        self._with_image = with_image
+        self._image_shape = tuple(image_shape)
         self._kwargs = seq_kwargs
 
     def __len__(self):
@@ -282,6 +287,14 @@ class SyntheticTrackingDataset:
                                  **self._kwargs)
         for t, f in enumerate(frames):
             f["frame_idx"] = t
+            if self._with_image:
+                rect, velo2cam, P2 = synthetic_calib(self._image_shape)
+                f["image"] = render_synthetic_image(
+                    f["points"], self._image_shape, rect, velo2cam, P2)
+                f["img_shape"] = self._image_shape
+                f["calib/R0_rect"] = rect
+                f["calib/Tr_velo_to_cam"] = velo2cam
+                f["calib/P2"] = P2
         return frames
 
 
@@ -310,6 +323,76 @@ def simulate_detections(gt_boxes, rng, *, loc_noise=0.15, dim_noise=0.05,
                  np.zeros((0, 7), np.float32)).astype(np.float32)
     scores = np.clip(rng.uniform(0.4, 1.0, len(det_boxes)), 0, 1)
     return det_boxes, scores.astype(np.float32)
+
+
+def nms_vid(det_boxes, det_scores, *, score_threshold: float = 0.2,
+            iou_threshold: float = 0.1, post_max_size: int = 100):
+    """Pre-tracking detection cleanup — the reference's `nms_vid`
+    (spatio `:1872-1910`): sigmoid-score gate at 0.2, then rotated BEV NMS
+    over the survivors. Returns (boxes, scores) of the kept detections."""
+    from ..core import nms_np
+    det_boxes = np.asarray(det_boxes, np.float32)
+    det_scores = np.asarray(det_scores, np.float32)
+    keep = det_scores >= score_threshold
+    det_boxes, det_scores = det_boxes[keep], det_scores[keep]
+    if not len(det_boxes):
+        return det_boxes, det_scores
+    bev = det_boxes[:, [0, 1, 3, 4, 6]]
+    sel = nms_np.greedy_nms(bev, det_scores, iou_threshold=iou_threshold,
+                            rotated=True, max_out=post_max_size)
+    return det_boxes[sel], det_scores[sel]
+
+
+def bilinear_resize(img, out_hw):
+    """Bilinear resize [h, w, C] → [H, W, C] (numpy, half-pixel centers)."""
+    h, w = img.shape[:2]
+    H, W = out_hw
+    if h == 0 or w == 0:
+        return np.zeros((H, W) + img.shape[2:], np.float32)
+    ys = np.clip((np.arange(H) + 0.5) * h / H - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(W) + 0.5) * w / W - 0.5, 0, w - 1)
+    y0 = np.floor(ys).astype(np.int32)
+    x0 = np.floor(xs).astype(np.int32)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = (ys - y0).astype(np.float32)[:, None, None]
+    fx = (xs - x0).astype(np.float32)[None, :, None]
+    im = np.asarray(img, np.float32)
+    top = im[y0][:, x0] * (1 - fx) + im[y0][:, x1] * fx
+    bot = im[y1][:, x0] * (1 - fx) + im[y1][:, x1] * fx
+    return top * (1 - fy) + bot * fy
+
+
+def camera_det_crops(image, det_boxes, rect, Trv2c, P2, size: int):
+    """Camera image crops of lidar-frame detections — the reference's
+    `top_to_img` (spatio `:1912-1986`): lidar box → camera box → 3D corners
+    (origin (0.5, 1.0, 0.5)) → projected 2D bbox, clamped to the image;
+    crops are bilinear-resized to [size, size]. Boxes behind the camera or
+    with a degenerate on-image footprint get ok=False (caller falls back to
+    the BEV raster). Returns (crops [n, S, S, C], ok [n] bool)."""
+    det_boxes = np.asarray(det_boxes, np.float32)
+    n = len(det_boxes)
+    C = image.shape[2] if image.ndim == 3 else 1
+    crops = np.zeros((n, size, size, C), np.float32)
+    ok = np.zeros(n, bool)
+    if n == 0:
+        return crops, ok
+    cam = box_np.box_lidar_to_camera(det_boxes, rect, Trv2c)
+    bbox = box_np.box3d_to_bbox(cam, P2)                   # [n, 4] xyxy
+    H, W = image.shape[:2]
+    behind = cam[:, 2] <= 0.1                              # camera-frame depth
+    x1 = np.clip(bbox[:, 0], 0, W).astype(np.int32)
+    y1 = np.clip(bbox[:, 1], 0, H).astype(np.int32)
+    x2 = np.clip(bbox[:, 2], 0, W).astype(np.int32)
+    y2 = np.clip(bbox[:, 3], 0, H).astype(np.int32)
+    img = np.asarray(image, np.float32).reshape(H, W, C)
+    for i in range(n):
+        if behind[i] or x2[i] - x1[i] < 2 or y2[i] - y1[i] < 2:
+            continue
+        crops[i] = bilinear_resize(img[y1[i]:y2[i], x1[i]:x2[i]],
+                                   (size, size))
+        ok[i] = True
+    return crops, ok
 
 
 # ---------------------------------------------------------------------------
@@ -383,9 +466,14 @@ class TrackingPrep:
     """Sequence of frames → static [T, D] tracking-training arrays.
 
     Each frame contributes up to D detections (simulated from gt when no
-    detector output is supplied) with BEV-raster crops, local point sets,
+    detector output is supplied) with appearance crops, local point sets,
     and gt association labels from
     :func:`models.tracking_train.match_dets_to_gt`.
+
+    Appearance crops are CAMERA image crops (the reference's `top_to_img` →
+    AppearanceNet modality, spatio `:1594-1642,1912-1986`) whenever the
+    frame carries an image + calib; detections that don't project into the
+    image — and frames without a camera — fall back to BEV point rasters.
     """
 
     def __init__(self, cfg: TrackingPrepConfig = TrackingPrepConfig()):
@@ -429,8 +517,18 @@ class TrackingPrep:
                 tracked_class=cfg.tracked_class,
                 iou_threshold=cfg.iou_threshold)
             pts = frame["points"]
+            img = frame.get("image")
+            cam_ok = np.zeros(n, bool)
+            if img is not None and "calib/P2" in frame:
+                cam_crops, cam_ok = camera_det_crops(
+                    img, det_boxes[:n], frame["calib/R0_rect"],
+                    frame["calib/Tr_velo_to_cam"], frame["calib/P2"], S)
+                if cam_crops.shape[-1] < 3:       # grayscale → 3 channels
+                    cam_crops = np.repeat(cam_crops[..., :1], 3, -1)
             for j in range(n):
-                out["crops"][t, j] = bev_det_raster(pts, det_boxes[j], S)
+                out["crops"][t, j] = (cam_crops[j][..., :3] if cam_ok[j]
+                                      else bev_det_raster(pts, det_boxes[j],
+                                                          S))
                 out["points"][t, j], out["pmask"][t, j] = det_point_set(
                     pts, det_boxes[j], P, rng)
             out["det_boxes"][t, :n] = det_boxes[:n]

@@ -57,14 +57,18 @@ class TrackingTrainer:
                  feature_dim: int = 128, lr: float = 1e-3, seed: int = 0,
                  dataset_size: int = 64, detector_config: Optional[str] = None,
                  detector_dir: Optional[str] = None,
-                 detector_max_points: int = 25000):
+                 detector_max_points: int = 25000, camera: bool = False):
         self.model_dir = Path(model_dir)
         os.makedirs(self.model_dir, exist_ok=True)
+        # camera=True feeds the appearance net CAMERA crops (the reference's
+        # modality, spatio `:1594-1642`): KITTI frames load image_02, the
+        # synthetic fallback renders a consistent camera per frame
         if data_root:
-            self.dataset = KittiTrackingDataset(data_root)
+            self.dataset = KittiTrackingDataset(data_root, load_image=camera)
         else:
             self.dataset = SyntheticTrackingDataset(
                 size=dataset_size, seed=seed, num_frames=num_frames,
+                with_image=camera,
                 num_cars=(3, min(8, max_dets - 2)), num_ground=2000)
         # tracking-by-detection with a real trained detector
         # (`train_2st_spatio.py` runs the spatio detector then tracks;
@@ -114,11 +118,15 @@ class TrackingTrainer:
         return item
 
     def _detections(self, frames):
-        """Run the detector on each frame (None → simulate from gt)."""
+        """Run the detector on each frame (None → simulate from gt). Real
+        detector outputs pass through `nms_vid` — the reference's
+        pre-tracking cleanup (score gate 0.2 + rotated NMS, spatio
+        `:1872-1910`)."""
         if self.det_ctx is None:
             return None
+        from ..data.tracking import nms_vid
         dets = self.det_ctx.inference_batch([f["points"] for f in frames])
-        return [(d["boxes"], d["scores"]) for d in dets]
+        return [nms_vid(d["boxes"], d["scores"]) for d in dets]
 
     def _prep_item(self, idx: int) -> Dict[str, jnp.ndarray]:
         frames = self._sequence(idx)
@@ -495,6 +503,10 @@ def main():
                              "ones")
     parser.add_argument("--detector_dir", default=None,
                         help="checkpoint dir for --detector_config")
+    parser.add_argument("--camera", action="store_true",
+                        help="appearance net consumes camera image crops "
+                             "(top_to_img): loads image_02 for KITTI roots, "
+                             "renders a synthetic camera otherwise")
     parser.add_argument("--tracker", default="simple",
                         choices=["simple", "memory"],
                         help="id management: pairwise handoff or "
@@ -525,7 +537,7 @@ def main():
         num_frames=args.num_frames, max_dets=args.max_dets,
         feature_dim=args.feature_dim, lr=args.lr,
         detector_config=args.detector_config,
-        detector_dir=args.detector_dir)
+        detector_dir=args.detector_dir, camera=args.camera)
     if args.action == "train":
         trainer.restore()
         trainer.train(args.steps)

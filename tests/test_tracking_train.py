@@ -421,3 +421,149 @@ class TestWindowedEval:
         assert "mota" in windowed
         # same gt volume processed either way
         assert windowed["num_gt"] == whole["num_gt"]
+
+
+class TestCameraAppearance:
+    """Camera-crop appearance modality (reference `top_to_img` →
+    AppearanceNet, spatio `:1594-1642,1912-1986`)."""
+
+    def _calib(self):
+        from second_tpu.data.synthetic import synthetic_calib
+        return synthetic_calib((96, 312))
+
+    def test_crops_vary_with_image(self):
+        """Crop content tracks the IMAGE, not the lidar: same boxes, two
+        different images → different crops; and the crop region actually
+        covers the box's projected pixels."""
+        from second_tpu.data.tracking import camera_det_crops
+        rect, velo2cam, P2 = self._calib()
+        boxes = np.array([[10.0, 0.0, -1.0, 1.6, 3.9, 1.56, 0.0],
+                          [14.0, 4.0, -1.0, 1.6, 3.9, 1.56, 0.7]],
+                         np.float32)
+        rng = np.random.default_rng(0)
+        img_a = rng.uniform(0, 1, (96, 312, 3)).astype(np.float32)
+        img_b = rng.uniform(0, 1, (96, 312, 3)).astype(np.float32)
+        crops_a, ok_a = camera_det_crops(img_a, boxes, rect, velo2cam, P2, 24)
+        crops_b, ok_b = camera_det_crops(img_b, boxes, rect, velo2cam, P2, 24)
+        assert ok_a.all() and ok_b.all()
+        assert crops_a.shape == (2, 24, 24, 3)
+        assert np.abs(crops_a - crops_b).max() > 0.1
+        # constant image → constant crop (bilinear exactness)
+        flat = np.full((96, 312, 3), 0.5, np.float32)
+        crops_f, _ = camera_det_crops(flat, boxes, rect, velo2cam, P2, 24)
+        np.testing.assert_allclose(crops_f, 0.5, atol=1e-6)
+
+    def test_behind_camera_rejected(self):
+        from second_tpu.data.tracking import camera_det_crops
+        rect, velo2cam, P2 = self._calib()
+        boxes = np.array([[-10.0, 0.0, -1.0, 1.6, 3.9, 1.56, 0.0]],
+                         np.float32)
+        img = np.ones((96, 312, 3), np.float32)
+        _, ok = camera_det_crops(img, boxes, rect, velo2cam, P2, 24)
+        assert not ok.any()
+
+    def test_prep_uses_camera_when_frames_carry_images(self):
+        """TrackingPrep: frames with image+calib get camera crops (differ
+        from the BEV-raster crops of the same frames without images)."""
+        from second_tpu.data.tracking import (SyntheticTrackingDataset,
+                                              TrackingPrep,
+                                              TrackingPrepConfig)
+        ds_cam = SyntheticTrackingDataset(size=1, seed=3, num_frames=2,
+                                          with_image=True, num_ground=500)
+        ds_bev = SyntheticTrackingDataset(size=1, seed=3, num_frames=2,
+                                          with_image=False, num_ground=500)
+        prep = TrackingPrep(TrackingPrepConfig(max_dets=8))
+        a = prep(ds_cam[0], np.random.default_rng(0))
+        b = prep(ds_bev[0], np.random.default_rng(0))
+        valid = a["det_valid"] & b["det_valid"]
+        assert valid.any()
+        assert np.abs(a["crops"][valid] - b["crops"][valid]).max() > 1e-3
+        # point sets are modality-independent
+        np.testing.assert_allclose(a["points"][valid], b["points"][valid])
+
+    def test_nms_vid(self):
+        """nms_vid: score gate at 0.2 + rotated NMS dedup (spatio
+        `:1872-1910`)."""
+        from second_tpu.data.tracking import nms_vid
+        base = np.array([10.0, 0.0, -1.0, 1.6, 3.9, 1.56, 0.0], np.float32)
+        boxes = np.stack([base,
+                          base + np.array([0.1, 0, 0, 0, 0, 0, 0]),  # dup
+                          base + np.array([8, 8, 0, 0, 0, 0, 0]),    # far
+                          base + np.array([16, 0, 0, 0, 0, 0, 0])])  # weak
+        scores = np.array([0.9, 0.8, 0.7, 0.1], np.float32)
+        kept, ks = nms_vid(boxes, scores)
+        assert len(kept) == 2                    # dup suppressed, weak gated
+        assert ks[0] == 0.9 and {tuple(b[:2]) for b in kept} == {
+            (10.0, 0.0), (18.0, 8.0)}
+
+    @pytest.mark.slow
+    def test_cli_camera_train_eval(self, tmp_path):
+        """run_tracking train/evaluate with --camera on synthetic sequences
+        exercises the camera-crop appearance path end-to-end."""
+        from second_tpu.train.run_tracking import TrackingTrainer
+        trainer = TrackingTrainer(
+            tmp_path, num_frames=3, max_dets=8, feature_dim=16,
+            lr=1e-3, dataset_size=4, camera=True)
+        res = trainer.train(steps=2, log_every=1)
+        assert np.isfinite(res["last_loss"])
+        summary = trainer.evaluate(num_sequences=1)
+        assert "mota" in summary
+
+    def test_kitti_tracking_tree_with_images(self, tmp_path):
+        """KittiTrackingSequence(load_image=True) on a fabricated tree with
+        image_02 pngs: frames carry images, prep emits camera crops."""
+        pytest.importorskip("PIL")
+        from PIL import Image
+        from second_tpu.data.tracking import (KittiTrackingDataset,
+                                              TrackingPrep,
+                                              TrackingPrepConfig)
+        root = tmp_path / "training"
+        (root / "label_02").mkdir(parents=True)
+        (root / "calib").mkdir()
+        (root / "velodyne" / "0000").mkdir(parents=True)
+        (root / "image_02" / "0000").mkdir(parents=True)
+        lines = []
+        rng = np.random.default_rng(1)
+        for f in range(2):
+            lines.append(
+                f"{f} 1 Car 0 0 -1.5 100 150 200 250 1.5 1.6 3.9 "
+                f"{1.0 + 0.1 * f:.2f} 1.5 {10.0 + 0.2 * f:.2f} 0.1")
+        (root / "label_02" / "0000.txt").write_text("\n".join(lines) + "\n")
+        calib = "\n".join([
+            "P0: 700 0 600 0 0 700 180 0 0 0 1 0",
+            "P1: 700 0 600 0 0 700 180 0 0 0 1 0",
+            "P2: 700 0 600 44 0 700 180 0 0 0 1 0",
+            "P3: 700 0 600 0 0 700 180 0 0 0 1 0",
+            "R_rect 1 0 0 0 1 0 0 0 1",
+            "Tr_velo_cam 0 -1 0 0 0 0 -1 0 1 0 0 0",
+            "Tr_imu_velo 1 0 0 0 0 1 0 0 0 0 1 0",
+        ])
+        (root / "calib" / "0000.txt").write_text(calib + "\n")
+        for f in range(2):
+            cloud = np.concatenate(
+                [np.array([10 + 0.2 * f, -1, -1.0]) +
+                 rng.uniform(-0.7, 0.7, (80, 3)),
+                 np.stack([rng.uniform(0, 16, 400),
+                           rng.uniform(-8, 8, 400),
+                           rng.normal(-1.7, 0.03, 400)], 1)]
+            ).astype(np.float32)
+            cloud = np.concatenate(
+                [cloud, rng.uniform(0, 1, (len(cloud), 1)).astype(
+                    np.float32)], 1)
+            cloud.tofile(root / "velodyne" / "0000" / f"{f:06d}.bin")
+            img = rng.integers(0, 255, (370, 1224, 3), dtype=np.uint8)
+            Image.fromarray(img).save(
+                root / "image_02" / "0000" / f"{f:06d}.png")
+        seq = KittiTrackingDataset(root, load_image=True)[0]
+        frame = seq[0]
+        assert "image" in frame and frame["image"].shape == (370, 1224, 3)
+        frames = [seq[i] for i in range(len(seq))]
+        prep = TrackingPrep(TrackingPrepConfig(max_dets=4))
+        out = prep(frames, np.random.default_rng(0))
+        # the gt-simulated detection of the single car projects into the
+        # image → its crop is a camera crop (random-noise image stats, not
+        # a sparse BEV raster: BEV rasters of an 80-point car are mostly 0)
+        valid = out["det_valid"][0]
+        assert valid.any()
+        crop = out["crops"][0][np.flatnonzero(valid)[0]]
+        assert (crop > 0).mean() > 0.9
