@@ -145,12 +145,16 @@ def _pad_to(x, n, axis=0):
     return jnp.pad(x, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("criterion",))
-def rotated_iou_matrix_pallas(rbboxes1, rbboxes2, criterion=-1):
+@functools.partial(jax.jit, static_argnames=("criterion", "interpret"))
+def rotated_iou_matrix_pallas(rbboxes1, rbboxes2, criterion=-1,
+                              interpret=False):
     """Pairwise rotated IoU [N, 5] x [K, 5] → [N, K] via the Pallas kernel.
 
     Inputs are padded to tile multiples; padding boxes have zero area and
-    produce zero IoU.
+    produce zero IoU. `interpret=True` runs the kernel in Pallas interpret
+    mode (any backend — the correctness-test path; this repo's tunneled
+    axon runtime cannot remote-compile Pallas, see NOTES.md, so the
+    compiled path is for standard TPU runtimes).
     """
     N, K = rbboxes1.shape[0], rbboxes2.shape[0]
     n = max(BN, ((N + BN - 1) // BN) * BN)
@@ -169,5 +173,6 @@ def rotated_iou_matrix_pallas(rbboxes1, rbboxes2, criterion=-1):
         out_specs=pl.BlockSpec((BN, BK), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, k), jnp.float32),
+        interpret=interpret,
     )(b1, b2)
     return out[:N, :K]

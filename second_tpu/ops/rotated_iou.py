@@ -143,7 +143,17 @@ def rotated_iou_matrix(rbboxes1, rbboxes2, criterion=-1, row_chunk=None):
     pipeline's [chunk, K, 16]-shaped intermediates stay cache-resident —
     ~7x faster than the monolithic formulation at [1000, 1000] on v5e.
     `row_chunk=0` forces the monolithic path.
+
+    SECOND_TPU_PALLAS_RIOU=1 routes through the hand-tiled Pallas kernel
+    (`ops.pallas.riou`) instead of this XLA formulation — for TPU runtimes
+    with working Pallas lowering (this repo's tunneled axon runtime hangs at
+    Pallas remote-compile, so the XLA path is the default production
+    kernel; the Pallas kernel is interpret-mode tested either way).
     """
+    import os
+    if os.environ.get("SECOND_TPU_PALLAS_RIOU") == "1":
+        from .pallas.riou import rotated_iou_matrix_pallas
+        return rotated_iou_matrix_pallas(rbboxes1, rbboxes2, criterion)
     N, K = rbboxes1.shape[0], rbboxes2.shape[0]
     if row_chunk is None:
         row_chunk = max(32, min(N, 131072 // max(K, 1)))

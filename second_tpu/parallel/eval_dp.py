@@ -71,12 +71,54 @@ def make_dp_eval_step(spec: DetectorSpec, vspec: VoxelizeSpec, mesh: Mesh,
     return eval_step
 
 
+def make_dp_eval_any(eval_step, mesh: Mesh, axis_name: str = "data"):
+    """Mesh-shard ANY `(state, batch) -> det` eval step.
+
+    Generic counterpart of :func:`make_dp_eval_step` for the multi-stage /
+    temporal / fusion eval steps (the reference evaluates under DDP for any
+    model, `train_new_re.py:325-337`): the state pytree is replicated, every
+    batch leaf is sharded on its leading (batch) axis, the wrapped step runs
+    per shard, and per-shard detection statistics psum-reduce over ICI.
+    Returns `dp_step(state, batch) -> (det, stats)` with det leaves sharded
+    on the batch axis; `det` must carry `scores` and `valid` (all predict
+    variants do).
+    """
+
+    def shard_fn(state, batch):
+        det = eval_step(state, batch)
+        # rank-0 diagnostics (voxel_overflow, stage_overflow) psum to
+        # global totals; batched leaves stay sharded on the data axis
+        det = jax.tree.map(
+            lambda v: jax.lax.psum(v, axis_name) if v.ndim == 0 else v, det)
+        stats = jax.lax.psum(_local_stats(det), axis_name)
+        return det, stats
+
+    cache = {}
+
+    def dp_step(state, batch):
+        key = tuple(sorted(batch.keys()))
+        if key not in cache:
+            det_struct = jax.eval_shape(eval_step, state, batch)
+            det_specs = jax.tree.map(
+                lambda v: P() if v.ndim == 0 else P(axis_name), det_struct)
+            cache[key] = jax.jit(shard_map(
+                shard_fn, mesh=mesh,
+                in_specs=(P(), P(axis_name)),
+                out_specs=(det_specs, P()),
+                check_vma=False))
+        return cache[key](state, batch)
+
+    return dp_step
+
+
 def stats_to_dict(stats) -> Dict[str, int]:
-    """Readable form of the reduced statistics vector."""
+    """Readable form of the reduced statistics vector (trailing
+    voxel_overflow element optional — `make_dp_eval_any` has none)."""
     import numpy as np
     stats = np.asarray(stats)
     out = {"num_detections": int(stats[0])}
     for i, t in enumerate(SCORE_THRESHOLDS):
         out[f"num_score_ge_{t}"] = int(stats[i + 1])
-    out["voxel_overflow"] = int(stats[-1])
+    if len(stats) > len(SCORE_THRESHOLDS) + 1:
+        out["voxel_overflow"] = int(stats[-1])
     return out

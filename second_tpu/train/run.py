@@ -261,6 +261,14 @@ class Trainer:
             from .steps_multistage import make_temporal_steps
             self.train_step, self.eval_step = make_temporal_steps(
                 self.spec, self.vspec, self.eval_vspec)
+        # data-parallel EVAL for every non-one_stage model type (the
+        # reference evaluates under DDP for any model,
+        # `train_new_re.py:325-337`); one_stage wired its specialized
+        # overflow-reporting variant above
+        if model_type != "one_stage" and jax.device_count() > 1 and \
+                self.cfg.eval_input_reader.batch_size \
+                % jax.device_count() == 0:
+            self._setup_dp_eval_generic()
         # data-parallel TRAINING over the device mesh (the reference trains
         # DDP, `train_new_re.py:162-171`): params/opt-state replicated,
         # batch sharded on the `data` axis — XLA inserts the gradient
@@ -306,6 +314,22 @@ class Trainer:
             det, stats = dp_step(self.module, variables, sbatch)
             det = dict(det)
             det["voxel_overflow"] = stats[-1]
+            self._last_eval_stats = stats_to_dict(stats)
+            return det
+
+        self.eval_step = eval_step
+
+    def _setup_dp_eval_generic(self):
+        """Mesh-shard the already-built eval step (any model type): state
+        replicated, batch leaves sharded on the data axis, detection stats
+        psum-reduced in-graph (`parallel.eval_dp.make_dp_eval_any`)."""
+        from ..parallel import make_mesh
+        from ..parallel.eval_dp import make_dp_eval_any, stats_to_dict
+        mesh = make_mesh()
+        dp_step = make_dp_eval_any(self.eval_step, mesh)
+
+        def eval_step(state, batch):
+            det, stats = dp_step(state, batch)
             self._last_eval_stats = stats_to_dict(stats)
             return det
 

@@ -233,6 +233,48 @@ class TestDataParallelEval:
         assert det["boxes"].shape[0] == 8
         assert d["num_score_ge_0.1"] <= d["num_detections"]
 
+    def test_dp_eval_any_matches_single_device(self, setup):
+        """make_dp_eval_any wraps an arbitrary (state, batch) eval step:
+        detections come back batch-sharded and equal the single-device run;
+        psum stats match a host count (generalizes DP eval beyond
+        one_stage — reference `train_new_re.py:325-337`)."""
+        from second_tpu.parallel.eval_dp import make_dp_eval_any, \
+            stats_to_dict
+        mesh = make_mesh(jax.devices()[:8])
+        prep, examples = setup["prep"], setup["examples"]
+        batch = prep.collate(examples[:8])
+        batch = {k: jnp.asarray(v) for k, v in batch.items()
+                 if k != "image_idx"}
+        base_step = make_eval_step(setup["spec"], setup["vspec"])
+        state = fresh(setup["state"])
+        dp_step = make_dp_eval_any(base_step, mesh)
+        det, stats = dp_step(replicate_state(state, mesh), batch)
+        d = stats_to_dict(stats)
+        assert "voxel_overflow" not in d      # generic stats carry none
+        assert d["num_detections"] == int(np.asarray(det["valid"]).sum())
+        ref = base_step(state, batch)
+        np.testing.assert_allclose(np.asarray(det["boxes"]),
+                                   np.asarray(ref["boxes"]),
+                                   rtol=2e-3, atol=2e-3)
+
+    @pytest.mark.slow
+    def test_trainer_dp_eval_generic_temporal(self, tmp_path):
+        """Trainer auto-enables the generic mesh-sharded eval step for a
+        NON-one_stage model type (temporal) when the eval batch divides the
+        device count; AP eval completes end-to-end."""
+        from second_tpu.testing import TINY_PIPELINE
+        from second_tpu.train.run import Trainer
+        cfg_path = tmp_path / "tiny.config"
+        cfg_path.write_text(TINY_PIPELINE)
+        trainer = Trainer(cfg_path, tmp_path / "run", synthetic=True,
+                          dataset_size=16, max_points=3000, total_steps=2,
+                          model_type="temporal",
+                          patches=["eval_input_reader.batch_size=8"])
+        state = trainer.train(2)
+        detail = trainer.evaluate(state, max_frames=8)
+        assert any("/3d" in k for k in detail)
+        assert trainer._last_eval_stats["num_detections"] >= 0
+
     @pytest.mark.slow
     def test_trainer_dp_eval_path(self, tmp_path):
         """Trainer auto-enables the mesh-sharded eval step when the eval
