@@ -205,6 +205,19 @@ def compute_loss(spec: DetectorSpec, preds_dict, labels, reg_targets, anchors,
 # Prediction (reference predict_v2 :376-577, on-device static-shape redesign)
 # ---------------------------------------------------------------------------
 
+def _topk(masked_scores, k):
+    """NMS-candidate prefilter top-k. SECOND_TPU_APPROX_TOPK=1 switches the
+    exact `lax.top_k` (a partial sort over all A≈70-140k anchors — a predict-
+    segment hot spot) to `lax.approx_max_k` (TPU-native bitonic partial
+    reduce, recall ≥0.99): marginal candidates past the recall target may be
+    dropped, so the default stays exact; flip after validating AP parity."""
+    import os
+    if os.environ.get("SECOND_TPU_APPROX_TOPK") == "1" \
+            and masked_scores.shape[-1] > 2 * k:
+        return jax.lax.approx_max_k(masked_scores, k, recall_target=0.99)
+    return jax.lax.top_k(masked_scores, k)
+
+
 def predict(spec: DetectorSpec, preds_dict, anchors, anchors_mask=None):
     """Decode + score + NMS, batched, fully in-graph.
 
@@ -280,7 +293,7 @@ def predict(spec: DetectorSpec, preds_dict, anchors, anchors_mask=None):
             # box_torch_ops.second_box_decode over the full grid)
             masked = jnp.where(ok, nms_scores, -jnp.inf)
             k = min(spec.nms_pre_max_size, A)
-            cand_scores, cand_idx = jax.lax.top_k(masked, k)
+            cand_scores, cand_idx = _topk(masked, k)
             cand_valid = jnp.isfinite(cand_scores)
             cand_boxes = box_ops.second_box_decode(box_preds[cand_idx],
                                                    anchor_row[cand_idx])

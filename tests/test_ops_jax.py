@@ -335,3 +335,20 @@ class TestNMS:
         c1 = set(np.asarray(idx[1])[np.asarray(keep[1])].tolist())
         assert c0 == {0, 2}   # box1 suppressed by box0 in class 0
         assert c1 == {1, 2}   # box0 suppressed by box1 in class 1
+
+
+class TestApproxTopK:
+    def test_predict_prefilter_topk_modes(self, monkeypatch):
+        """SECOND_TPU_APPROX_TOPK=1 switches the predict prefilter to
+        lax.approx_max_k (recall >= 0.99); default stays exact top_k."""
+        from second_tpu.models.detector import _topk
+        x = jnp.asarray(np.random.default_rng(0).normal(
+            size=(8192,)).astype(np.float32))
+        ve, ie = jax.lax.top_k(x, 512)
+        monkeypatch.delenv("SECOND_TPU_APPROX_TOPK", raising=False)
+        v, i = _topk(x, 512)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ie))
+        monkeypatch.setenv("SECOND_TPU_APPROX_TOPK", "1")
+        v, i = jax.jit(lambda x: _topk(x, 512))(x)
+        recall = np.isin(np.asarray(i), np.asarray(ie)).mean()
+        assert recall >= 0.99
