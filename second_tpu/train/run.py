@@ -339,6 +339,7 @@ class Trainer:
     def _batch_iter(self, batch_size, rng):
         order = rng.permutation(len(self.train_ds))
         pos = 0
+        dev_const = {}   # anchors are identical every batch: upload ONCE
         while True:
             if pos + batch_size > len(order):
                 order = rng.permutation(len(self.train_ds))
@@ -347,8 +348,18 @@ class Trainer:
                         for i in order[pos:pos + batch_size]]
             pos += batch_size
             batch = self.prep.collate(examples)
-            yield {k: jnp.asarray(v) for k, v in batch.items()
-                   if k != "image_idx"}
+            out = {}
+            for k, v in batch.items():
+                if k == "image_idx":
+                    continue
+                if k == "anchors":
+                    key = (k, v.shape)
+                    if key not in dev_const:
+                        dev_const[key] = jnp.asarray(v)
+                    out[k] = dev_const[key]
+                else:
+                    out[k] = jnp.asarray(v)
+            yield out
 
     def _init_state(self, batch):
         if self.model_type == "one_stage":
@@ -440,6 +451,37 @@ class Trainer:
         self.ckpt.save(state, int(state.step))
         return state
 
+    @staticmethod
+    @jax.jit
+    def _pack_detections(det):
+        """In-graph repack of a detection dict into ONE f32 array
+        [B, P, code+3] (+ scalar diagnostics vector): the tunneled runtime
+        charges a ~30 ms host round-trip per D2H fetch, so fetching
+        boxes/scores/labels/valid (+2 overflow scalars) separately cost the
+        eval loop ~6 RTTs per batch; packed, it pays one."""
+        parts = [det["boxes"].astype(jnp.float32),
+                 det["scores"].astype(jnp.float32)[..., None],
+                 det["labels"].astype(jnp.float32)[..., None],
+                 det["valid"].astype(jnp.float32)[..., None]]
+        extras = jnp.stack(
+            [jnp.asarray(det.get(k, 0), jnp.int32)
+             for k in ("voxel_overflow", "stage_overflow")])
+        return jnp.concatenate(parts, -1), extras
+
+    @staticmethod
+    def _unpack_detections(packed, extras, ovf_keys):
+        """Host-side inverse of `_pack_detections` (packed/extras already
+        fetched as numpy)."""
+        code = packed.shape[-1] - 3
+        det = {"boxes": packed[..., :code],
+               "scores": packed[..., code],
+               "labels": packed[..., code + 1].astype(np.int64),
+               "valid": packed[..., code + 2] > 0.5}
+        for i, k in enumerate(("voxel_overflow", "stage_overflow")):
+            if k in ovf_keys:
+                det[k] = extras[i]
+        return det
+
     def _convert_detections(self, det, scenes, gt_annos, dt_annos):
         """Host-side detection→KITTI-anno conversion for one batch (runs
         in a converter thread while the device executes later batches; the
@@ -484,14 +526,28 @@ class Trainer:
         if max_frames:
             n = min(n, max_frames)
 
+        # anchors are the same grid every batch ([B, A≈70-140k, 7] is MBs
+        # per upload — re-sending it per batch dominated the tunnel's H2D
+        # budget and halved eval throughput); upload once and reuse
+        dev_const = {}
+
         def make_batch(start):
             rng = np.random.default_rng(start)
             scenes = [self.eval_ds[i] for i in range(start,
                                                      start + batch_size)]
             examples = [self.eval_prep(s, rng) for s in scenes]
             batch = self.eval_prep.collate(examples)
-            jbatch = {k: jnp.asarray(v) for k, v in batch.items()
-                      if k != "image_idx"}
+            jbatch = {}
+            for k, v in batch.items():
+                if k == "image_idx":
+                    continue
+                if k == "anchors":
+                    key = (k, v.shape)
+                    if key not in dev_const:
+                        dev_const[key] = jnp.asarray(v)
+                    jbatch[k] = dev_const[key]
+                else:
+                    jbatch[k] = jnp.asarray(v)
             return scenes, jbatch
 
         workers = max(1, min(4, self.cfg.eval_input_reader.num_workers))
@@ -511,7 +567,9 @@ class Trainer:
         # futures list, so results stay deterministic.
         from concurrent.futures import ThreadPoolExecutor
 
-        def convert_one(det, scenes):
+        def convert_one(packed, extras, ovf_keys, scenes):
+            det = self._unpack_detections(np.asarray(packed),
+                                          np.asarray(extras), ovf_keys)
             gt, dt = [], []
             self._convert_detections(det, scenes, gt, dt)
             return gt, dt
@@ -523,10 +581,14 @@ class Trainer:
             for scenes, jbatch in bounded_ordered_map(
                     make_batch, starts, num_workers=workers, prefetch=8):
                 det = self.eval_step(state, jbatch)   # async dispatch
+                ovf_keys = tuple(k for k in ("voxel_overflow",
+                                             "stage_overflow") if k in det)
+                packed, extras = self._pack_detections(det)
                 if t_first is None:
-                    np.asarray(det["valid"])   # force first-batch compile
+                    np.asarray(packed)   # force first-batch compile
                     t_first = time.time()
-                q.append(pool.submit(convert_one, det, scenes))
+                q.append(pool.submit(convert_one, packed, extras, ovf_keys,
+                                     scenes))
                 while len(q) > 4:   # bound the device queue depth
                     gt, dt = q.popleft().result()
                     gt_annos.extend(gt)
