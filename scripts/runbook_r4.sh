@@ -5,11 +5,15 @@ set -x
 cd /root/repo
 mkdir -p /tmp/rb
 
-# 1. Confirm current code benches (headline number with flat gathers)
+# 1. Confirm current code benches (headline number; eval-loop RTT fixes in)
 python bench.py > /tmp/rb/bench_base.log 2>&1
 
-# 2. A/B the dense-rank path
-SECOND_TPU_DENSE_RANK_CELLS=16000000 python bench.py > /tmp/rb/bench_dense.log 2>&1
+# 2. A/B the dense-rank rulebook path (stages>=1, then all stages)
+SECOND_TPU_DENSE_RANK_CELLS=16000000 python bench.py > /tmp/rb/bench_dense16M.log 2>&1
+SECOND_TPU_DENSE_RANK_CELLS=100000000 python bench.py > /tmp/rb/bench_dense100M.log 2>&1
+
+# 2b. A/B the approx-top_k predict prefilter
+SECOND_TPU_APPROX_TOPK=1 python bench.py > /tmp/rb/bench_approxtopk.log 2>&1
 
 # 3. fhd OneCycle training (north-star accuracy experiment), resumable
 python -m second_tpu.train.run train \
@@ -20,7 +24,8 @@ python -m second_tpu.train.run train \
   --patchs "train_config.save_checkpoints_secs=420" \
   > /tmp/rb/fhd_train.log 2>&1
 
-# 4. Evaluate it (official AP on held-out synthetic scans)
+# 4. Evaluate it (official AP on held-out synthetic scans) — also the
+#    eval-throughput drill: check frames_per_sec_steady >= 20 in the log
 python -m second_tpu.train.run evaluate \
   --config_path second_tpu/configs/second_car_fhd_onecycle.config \
   --model_dir /tmp/fhd_oc2 --synthetic --dataset_size 128 --max_frames 64 \
@@ -38,9 +43,3 @@ python -m second_tpu.train.run evaluate \
   --config_path second_tpu/configs/pointpillars_car.config \
   --model_dir /tmp/pp_oc2 --synthetic --dataset_size 128 --max_frames 64 \
   > /tmp/rb/pp_eval.log 2>&1
-
-# 6. Attribution benches (middle stages + predict)
-python scripts/bench_middle_stages.py > /tmp/rb/middle_stages.log 2>&1
-python scripts/bench_predict_attrib.py > /tmp/rb/predict_attrib.log 2>&1
-
-echo RUNBOOK_DONE

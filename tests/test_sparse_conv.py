@@ -336,6 +336,35 @@ class TestBatchedVariants:
         np.testing.assert_array_equal(np.asarray(dense), np.asarray(ref))
         np.testing.assert_array_equal(np.asarray(bucket), np.asarray(ref))
 
+    def test_subm_conv_b_dense_rank_flag_equivalent(self, monkeypatch):
+        """With SECOND_TPU_DENSE_RANK_CELLS covering the grid, the whole
+        batched subm conv (rulebook build through einsum) matches the
+        bucket-matmul default bit-for-bit — the safety check behind the
+        on-chip A/B of the dense-rank path (sparse_conv.py:287)."""
+        rng = np.random.default_rng(17)
+        grid = (5, 10, 12)
+        coords, feats, valid, keys = self._batch(rng, grid, 64, 5, B=2)
+        w = jnp.asarray(rng.normal(0, 0.3, (27, 5, 6)).astype(np.float32))
+        ref = sp.subm_conv3d_b(feats, coords, keys, valid, grid, w)
+        monkeypatch.setattr(sp, "DENSE_RANK_MAX_CELLS", int(np.prod(grid)))
+        got = sp.subm_conv3d_b(feats, coords, keys, valid, grid, w)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_sparse_conv3d_b_dense_rank_flag_equivalent(self, monkeypatch):
+        """Strided conv (downsample candidate gen + rulebook) under the
+        dense-rank flag matches the default path."""
+        rng = np.random.default_rng(18)
+        grid = (6, 8, 10)
+        coords, feats, valid, keys = self._batch(rng, grid, 48, 4, B=2)
+        w = jnp.asarray(rng.normal(0, 0.3, (27, 4, 4)).astype(np.float32))
+        args = (feats, coords, keys, valid, grid, w,
+                (3, 3, 3), (2, 2, 2), (1, 1, 1), 48)
+        ref = sp.sparse_conv3d_b(*args)
+        monkeypatch.setattr(sp, "DENSE_RANK_MAX_CELLS", int(np.prod(grid)))
+        got = sp.sparse_conv3d_b(*args)
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_sparse_max_pool3d_b_matches_vmapped(self):
         rng = np.random.default_rng(11)
         grid = (6, 8, 10)
