@@ -61,6 +61,7 @@ class InferenceContext:
             if restored is not None:
                 self.state = restored
         self._eval_step = make_eval_step(self.spec, self.vspec)
+        self._dev_const = {}   # anchors device cache, keyed by shape
         self._built = True
         return self
 
@@ -78,18 +79,29 @@ class InferenceContext:
         """Run one jitted forward over a batch of frames (serving
         micro-batching: shapes are static per batch size, so each distinct
         batch size compiles once and is cached)."""
+        import jax
         import jax.numpy as jnp
         assert self._built
         rng = None
         examples = [self.prep({"points": p, "image_idx": i}, rng)
                     for i, p in enumerate(point_clouds)]
         batch = self.prep.collate(examples)
-        jb = {k: jnp.asarray(v) for k, v in batch.items()
-              if k != "image_idx"}
+        jb = {}
+        for k, v in batch.items():
+            if k == "image_idx":
+                continue
+            if k == "anchors":     # identical every call: upload once
+                key = (k, v.shape)
+                if key not in self._dev_const:
+                    self._dev_const[key] = jnp.asarray(v)
+                jb[k] = self._dev_const[key]
+            else:
+                jb[k] = jnp.asarray(v)
         det = self._eval_step(self.state, jb)
-        # drop scalar telemetry (voxel/stage overflow counters)
-        det = {k: np.asarray(v) for k, v in det.items()
-               if np.asarray(v).ndim > 0}
+        # drop scalar telemetry (voxel/stage overflow counters); fetch the
+        # rest in one device_get (per-key fetches each pay a tunnel RTT)
+        det = jax.device_get(
+            {k: v for k, v in det.items() if getattr(v, "ndim", 0) > 0})
         out = []
         for b in range(len(point_clouds)):
             keep = det["valid"][b]
