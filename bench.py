@@ -27,8 +27,9 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), ".jax_cache"))
 
-BATCH = 4
-ITERS = 40   # tunnel-latency drift between runs is ±1.5 fps at 20 iters
+BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+ITERS = int(os.environ.get("BENCH_ITERS", "40"))
+# tunnel-latency drift between runs is ±1.5 fps at 20 iters
 
 
 def _measure(config_path, max_points, max_voxels, batch=BATCH, iters=ITERS):

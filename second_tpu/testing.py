@@ -94,8 +94,65 @@ eval_input_reader: {
 """
 
 
+# Sparse-middle variant of the tiny pipeline: the same scene/range, but the
+# real fhd component stack (VFE-V3 mean encoder + SpMiddleFHD sparse 3D
+# backbone). Exists so the SPARSE training path has its own CPU-sized
+# overfit-to-detection test — the dense/sparse training-quality comparison
+# the hardware experiments run at full scale.
+TINY_SPARSE_PIPELINE = TINY_PIPELINE.replace(
+    """      voxel_size: [0.25, 0.25, 4.0]
+      max_number_of_points_per_voxel: 8
+    }
+    voxel_feature_extractor: {
+      module_class_name: "PillarFeatureNet"
+      num_filters: [16]
+      num_input_features: 4
+    }
+    middle_feature_extractor: {
+      module_class_name: "PointPillarsScatter"
+      downsample_factor: 1
+      num_input_features: 16
+    }
+    rpn: {
+      module_class_name: "RPNV2"
+      layer_nums: [1, 1]
+      layer_strides: [2, 2]
+      num_filters: [16, 32]
+      upsample_strides: [1, 2]
+      num_upsample_filters: [16, 16]
+      num_input_features: 16
+    }""",
+    """      voxel_size: [0.25, 0.25, 0.1]
+      max_number_of_points_per_voxel: 5
+    }
+    voxel_feature_extractor: {
+      module_class_name: "VoxelFeatureExtractorV3"
+      num_filters: [4]
+      num_input_features: 4
+    }
+    middle_feature_extractor: {
+      module_class_name: "SpMiddleFHD"
+      downsample_factor: 8
+      num_input_features: 4
+    }
+    rpn: {
+      module_class_name: "RPNV2"
+      layer_nums: [1, 1]
+      layer_strides: [1, 2]
+      num_filters: [32, 32]
+      upsample_strides: [1, 2]
+      num_upsample_filters: [16, 16]
+      num_input_features: 128
+    }""").replace("max_number_of_voxels: 1024",
+                  "max_number_of_voxels: 2048")
+
+
 def tiny_pipeline_config():
     return loads_pipeline_config(TINY_PIPELINE)
+
+
+def tiny_sparse_pipeline_config():
+    return loads_pipeline_config(TINY_SPARSE_PIPELINE)
 
 
 def tiny_scene_kwargs():

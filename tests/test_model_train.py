@@ -354,3 +354,54 @@ class TestSpatialPartitioning:
             np.testing.assert_allclose(np.asarray(got[k]),
                                        np.asarray(ref[k]),
                                        rtol=2e-4, atol=2e-4)
+
+
+class TestSparseTrainingPath:
+    """The SPARSE (SpMiddleFHD) training path must learn like the dense
+    pillar path does — the CPU-sized counterpart of the fhd-vs-PointPillars
+    training-quality experiments on hardware."""
+
+    @pytest.mark.slow
+    def test_sparse_overfit_detects_cars(self):
+        from second_tpu.testing import (tiny_scene_kwargs,
+                                        tiny_sparse_pipeline_config)
+        cfg = tiny_sparse_pipeline_config()
+        module, spec, info, assigner, coder = build_voxelnet(cfg.model)
+        vspec = VoxelizeSpec.from_config(
+            cfg.model.voxel_generator,
+            cfg.train_input_reader.max_number_of_voxels)
+        prep = ExamplePrep(assigner, info.feature_map_size,
+                           PrepConfig(max_points=3000, training=True))
+        rng = np.random.default_rng(0)
+        examples = []
+        for i in range(2):
+            p, b, n = sample_scene(np.random.default_rng(i),
+                                   **tiny_scene_kwargs())
+            examples.append(prep({"points": p, "gt_boxes": b, "gt_names": n,
+                                  "image_idx": i}, rng))
+        batch = prep.collate(examples)
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+                  if k != "image_idx"}
+        tx, _ = build_optimizer(cfg.train_config.optimizer,
+                                cfg.train_config.steps)
+        state = TrainState.create(module, tx, jax.random.PRNGKey(0), vspec,
+                                  jbatch)
+        train_step = make_train_step(spec, vspec)
+        eval_step = make_eval_step(spec, vspec)
+        losses = []
+        for _ in range(60):
+            state, metrics = train_step(state, dict(jbatch))
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0] * 0.5, (
+            f"sparse path did not learn: {losses[0]:.3f} -> {losses[-1]:.3f}")
+        det = eval_step(state, dict(jbatch))
+        gt = np.asarray(jbatch["gt_boxes_padded"][0])[
+            np.asarray(jbatch["gt_valid"][0])]
+        boxes = np.asarray(det["boxes"][0])
+        valid = np.asarray(det["valid"][0]) & \
+            (np.asarray(det["scores"][0]) > 0.3)
+        assert valid.sum() > 0, "no detections after overfitting sparse path"
+        dists = np.hypot(boxes[valid][:, None, 0] - gt[None, :, 0],
+                         boxes[valid][:, None, 1] - gt[None, :, 1])
+        assert dists.min() < 1.0, (
+            f"nearest sparse detection {dists.min():.2f}m from gt")
