@@ -43,3 +43,19 @@ python -m second_tpu.train.run evaluate \
   --config_path second_tpu/configs/pointpillars_car.config \
   --model_dir /tmp/pp_oc2 --synthetic --dataset_size 128 --max_frames 64 \
   > /tmp/rb/pp_eval.log 2>&1
+
+# 6. fp32-middle control for the fhd quality gap: same recipe as (3) with
+#    mixed precision OFF — discriminates bf16-localization loss from recipe.
+python -m second_tpu.train.run train \
+  --config_path second_tpu/configs/second_car_fhd_onecycle.config \
+  --model_dir /tmp/fhd_fp32 --synthetic --dataset_size 128 --steps 2500 \
+  --patchs "train_input_reader.batch_size=2" \
+  --patchs "train_config.steps_per_eval=0" \
+  --patchs "train_config.save_checkpoints_secs=420" \
+  --patchs "train_config.enable_mixed_precision=False" \
+  > /tmp/rb/fhd_fp32_train.log 2>&1
+python -m second_tpu.train.run evaluate \
+  --config_path second_tpu/configs/second_car_fhd_onecycle.config \
+  --model_dir /tmp/fhd_fp32 --synthetic --dataset_size 128 --max_frames 64 \
+  --patchs "train_config.enable_mixed_precision=False" \
+  > /tmp/rb/fhd_fp32_eval.log 2>&1
