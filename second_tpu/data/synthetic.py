@@ -13,12 +13,49 @@ import numpy as np
 
 CAR_MEAN_DIMS = np.array([1.6, 3.9, 1.56])  # w, l, h
 
+# KITTI mean dimensions per class (w, l, h) — matches the reference configs'
+# anchor sizes (e.g. people.fhd ped/cyclist anchor_generator sizes).
+CLASS_MEAN_DIMS = {
+    "Car": CAR_MEAN_DIMS,
+    "Pedestrian": np.array([0.6, 0.8, 1.73]),
+    "Cyclist": np.array([0.6, 1.76, 1.73]),
+}
+
+
+def _sample_class_boxes(rng, name, count_range, pc_range, ground_z,
+                        existing, min_sep):
+    """Rejection-sample `count` boxes of `name` away from `existing` centers.
+    Consumes NO rng draws when the class is disabled (max count 0), so
+    default Car-only streams stay bit-identical."""
+    if count_range[1] <= 0:
+        return []
+    mean = CLASS_MEAN_DIMS[name]
+    n = int(rng.integers(count_range[0], count_range[1] + 1))
+    out = []
+    for _ in range(n):
+        for _attempt in range(20):
+            dims = mean * rng.uniform(0.85, 1.15, 3)
+            x = rng.uniform(pc_range[0] + 3, pc_range[3] - 3)
+            y = rng.uniform(pc_range[1] + 3, pc_range[4] - 3)
+            z = ground_z + rng.uniform(-0.05, 0.05)
+            yaw = rng.uniform(-np.pi, np.pi)
+            if all(np.hypot(b[0] - x, b[1] - y) > min_sep
+                   for b in existing + out):
+                out.append([x, y, z, dims[0], dims[1], dims[2], yaw])
+                break
+    return out
+
 
 def sample_scene(rng: np.random.Generator, *,
                  pc_range=(0.0, -39.68, -3.0, 69.12, 39.68, 1.0),
                  num_cars=(3, 12), points_per_car=(60, 300),
-                 num_ground=8000, ground_z=-1.73):
-    """Returns (points [P, 4] f32, gt_boxes [G, 7] f32, gt_names [G] str)."""
+                 num_ground=8000, ground_z=-1.73,
+                 num_peds=(0, 0), num_cyclists=(0, 0)):
+    """Returns (points [P, 4] f32, gt_boxes [G, 7] f32, gt_names [G] str).
+
+    `num_peds`/`num_cyclists` default to disabled (0, 0) — when disabled they
+    consume no rng draws, keeping historical Car-only seeded scenes
+    bit-identical."""
     n_cars = int(rng.integers(num_cars[0], num_cars[1] + 1))
     boxes = []
     for _ in range(n_cars):
@@ -33,12 +70,23 @@ def sample_scene(rng: np.random.Generator, *,
             if all(np.hypot(b[0] - x, b[1] - y) > 4.0 for b in boxes):
                 boxes.append(cand)
                 break
+    names = ["Car"] * len(boxes)
+    boxes = [np.asarray(b) for b in boxes]
+    for cls, cnt, sep in (("Pedestrian", num_peds, 1.5),
+                          ("Cyclist", num_cyclists, 2.0)):
+        extra = _sample_class_boxes(rng, cls, cnt, pc_range, ground_z,
+                                    boxes, sep)
+        boxes.extend(np.asarray(b) for b in extra)
+        names.extend([cls] * len(extra))
     gt_boxes = np.array(boxes, np.float32) if boxes else \
         np.zeros((0, 7), np.float32)
 
     pts = []
-    for b in gt_boxes:
-        n = int(rng.integers(points_per_car[0], points_per_car[1] + 1))
+    for b, name in zip(gt_boxes, names):
+        lo, hi = points_per_car
+        if name != "Car":       # smaller objects carry fewer returns
+            lo, hi = max(8, lo // 4), max(16, hi // 4)
+        n = int(rng.integers(lo, hi + 1))
         local = rng.uniform(-0.5, 0.5, (n, 3)) * b[3:6]
         local[:, 2] += b[5] / 2  # boxes are bottom-anchored
         c, s = np.cos(b[6]), np.sin(b[6])
@@ -54,14 +102,15 @@ def sample_scene(rng: np.random.Generator, *,
     points = np.concatenate(pts).astype(np.float32)
     intensity = rng.uniform(0, 1, (len(points), 1)).astype(np.float32)
     points = np.concatenate([points, intensity], 1)
-    gt_names = np.array(["Car"] * len(gt_boxes))
+    gt_names = np.array(names)
     return points, gt_boxes, gt_names
 
 
 def lidar_scan_scene(rng: np.random.Generator, *,
                      pc_range=(0.0, -39.68, -3.0, 69.12, 39.68, 1.0),
                      num_cars=(3, 12), num_beams=64, num_azimuth=2048,
-                     ground_z=-1.73, sensor_z=0.0, max_range=75.0):
+                     ground_z=-1.73, sensor_z=0.0, max_range=75.0,
+                     num_peds=(0, 0), num_cyclists=(0, 0)):
     """KITTI-like LiDAR scan: rays from the sensor over a beam/azimuth grid
     intersect the ground plane and car boxes; first hit wins.
 
@@ -82,6 +131,13 @@ def lidar_scan_scene(rng: np.random.Generator, *,
             if all(np.hypot(b[0] - x, b[1] - y) > 4.5 for b in boxes):
                 boxes.append([x, y, z, dims[0], dims[1], dims[2], yaw])
                 break
+    names = ["Car"] * len(boxes)
+    for cls, cnt, sep in (("Pedestrian", num_peds, 1.5),
+                          ("Cyclist", num_cyclists, 2.0)):
+        extra = _sample_class_boxes(rng, cls, cnt, pc_range, ground_z,
+                                    boxes, sep)
+        boxes.extend(extra)
+        names.extend([cls] * len(extra))
     gt_boxes = np.array(boxes, np.float32) if boxes else \
         np.zeros((0, 7), np.float32)
 
@@ -136,7 +192,7 @@ def lidar_scan_scene(rng: np.random.Generator, *,
     pts = pts[inb]
     intensity = rng.uniform(0, 1, (len(pts), 1)).astype(np.float32)
     points = np.concatenate([pts, intensity], 1).astype(np.float32)
-    gt_names = np.array(["Car"] * len(gt_boxes))
+    gt_names = np.array(names)
     return points, gt_boxes, gt_names
 
 
@@ -208,7 +264,8 @@ class SyntheticDataset:
         rng = np.random.default_rng(self._seed * 100003 + idx)
         if self._scan:
             kwargs = {k: v for k, v in self._scene_kwargs.items()
-                      if k in ("pc_range", "num_cars")}
+                      if k in ("pc_range", "num_cars", "num_peds",
+                               "num_cyclists")}
             points, gt_boxes, gt_names = lidar_scan_scene(
                 rng, num_azimuth=512, **kwargs)
         else:

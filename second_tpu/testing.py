@@ -147,8 +147,47 @@ TINY_SPARSE_PIPELINE = TINY_PIPELINE.replace(
                   "max_number_of_voxels: 2048")
 
 
+# Multi-class variant: Car + Pedestrian anchor generators (the reference's
+# people.* / multiclass config shape, reference configs/people.fhd.config).
+TINY_MULTICLASS_PIPELINE = TINY_PIPELINE.replace(
+    """      anchor_generators: {
+        anchor_generator_range: {
+          sizes: [1.6, 3.9, 1.56]
+          anchor_ranges: [0, -8, -1.78, 16, 8, -1.78]
+          rotations: [0, 1.57]
+          matched_threshold: 0.5
+          unmatched_threshold: 0.35
+          class_name: "Car"
+        }
+      }""",
+    """      anchor_generators: {
+        anchor_generator_range: {
+          sizes: [1.6, 3.9, 1.56]
+          anchor_ranges: [0, -8, -1.78, 16, 8, -1.78]
+          rotations: [0, 1.57]
+          matched_threshold: 0.5
+          unmatched_threshold: 0.35
+          class_name: "Car"
+        }
+      }
+      anchor_generators: {
+        anchor_generator_range: {
+          sizes: [0.6, 0.8, 1.73]
+          anchor_ranges: [0, -8, -1.465, 16, 8, -1.465]
+          rotations: [0, 1.57]
+          matched_threshold: 0.35
+          unmatched_threshold: 0.2
+          class_name: "Pedestrian"
+        }
+      }""")
+
+
 def tiny_pipeline_config():
     return loads_pipeline_config(TINY_PIPELINE)
+
+
+def tiny_multiclass_pipeline_config():
+    return loads_pipeline_config(TINY_MULTICLASS_PIPELINE)
 
 
 def tiny_sparse_pipeline_config():

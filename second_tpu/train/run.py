@@ -195,15 +195,25 @@ class Trainer:
                                                     seed=2, **pair_kwargs)
             else:
                 # scan geometry (not uniform scatter): realistic voxel
-                # occupancy and sparse-stage dilation
+                # occupancy and sparse-stage dilation. Scenes carry every
+                # class the config's target assigner detects (the reference's
+                # people.* / multiclass configs train ped+cyclist heads).
+                cls = set(self.assigner.classes)
+                cls_kwargs = {}
+                if "Pedestrian" in cls:
+                    cls_kwargs["num_peds"] = (1, 6)
+                if "Cyclist" in cls:
+                    cls_kwargs["num_cyclists"] = (1, 4)
+                if "Car" not in cls:
+                    cls_kwargs["num_cars"] = (0, 0)
                 self.train_ds = SyntheticDataset(
                     dataset_size, seed=1, pc_range=pc_range, scan=True,
                     with_image=self.use_fusion,
-                    image_shape=self.image_shape)
+                    image_shape=self.image_shape, **cls_kwargs)
                 self.eval_ds = SyntheticDataset(
                     max(32, dataset_size // 8), seed=2, pc_range=pc_range,
                     scan=True, with_image=self.use_fusion,
-                    image_shape=self.image_shape)
+                    image_shape=self.image_shape, **cls_kwargs)
         elif model_type in ("temporal", "temporal_fusion"):
             # KITTI tracking-benchmark sequences → (cur, prev) frame pairs
             # (reader root = the tracking split dir, label_02/velodyne/calib;
@@ -501,9 +511,11 @@ class Trainer:
             if self.synthetic or "annos" not in scene:
                 gt_annos.append(_synthetic_lidar_to_camera_annos(
                     scene["gt_boxes"], scene["gt_names"]))
+                class_names = np.asarray(self.assigner.classes)
                 dt_annos.append(_synthetic_lidar_to_camera_annos(
                     det["boxes"][b][valid],
-                    ["Car"] * int(valid.sum()),
+                    class_names[np.clip(det["labels"][b][valid], 0,
+                                        len(class_names) - 1)],
                     det["scores"][b][valid]))
             else:
                 from ..data.kitti import detections_to_kitti_annos
