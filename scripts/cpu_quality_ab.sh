@@ -22,16 +22,26 @@ with open('/tmp/ab/tiny_sparse.config', 'w') as f:
     f.write(testing.TINY_SPARSE_PIPELINE)
 EOF
 
+# voxel caps sized to the scan scenes (no truncation: the tiny configs'
+# 1024/2048 caps overflow on scan geometry — 728 dropped voxels at eval
+# biased the first A/B against dense)
+CAP_dense=4096
+CAP_sparse=8192
+
 for kind in dense sparse; do
+  cap=$(eval echo \$CAP_$kind)
   rm -rf $OUT/m_$kind
   python -m second_tpu.train.run train \
     --config_path $OUT/tiny_$kind.config --model_dir $OUT/m_$kind \
     --synthetic --dataset_size $DS --steps $STEPS \
     --patchs "train_config.steps_per_eval=0" \
+    --patchs "train_input_reader.max_number_of_voxels=$cap" \
+    --patchs "eval_input_reader.max_number_of_voxels=$cap" \
     > $OUT/train_$kind.log 2>&1
   python -m second_tpu.train.run evaluate \
     --config_path $OUT/tiny_$kind.config --model_dir $OUT/m_$kind \
     --synthetic --dataset_size $DS --max_frames 32 \
+    --patchs "eval_input_reader.max_number_of_voxels=$cap" \
     > $OUT/eval_$kind.log 2>&1
   echo "=== $kind ==="
   grep -aE "AP|3d|bev|bbox" $OUT/eval_$kind.log | tail -12
