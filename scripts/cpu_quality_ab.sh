@@ -28,18 +28,22 @@ EOF
 CAP_dense=4096
 CAP_sparse=8192
 CAP_sparse_fine=16384
+CAP_dense_coarse=4096
 PATCH_dense=()
 PATCH_sparse=()
-# sparse_fine: anchor-grid spacing MATCHED to dense (32×32 over the tiny
-# range, 0.5 m) — tiny sparse's stock 8×8 grid (2 m spacing) cannot reach
-# IoU 0.7 regardless of training, overstating the dense/sparse gap; the
-# real fhd-vs-pointpillars spacing ratio is only 0.4 m vs 0.32 m.
+# Anchor-grid spacing MATCHED pair at 1 m: tiny sparse's stock 8×8 grid
+# (2 m spacing) cannot reach IoU 0.7 regardless of training, overstating
+# the dense/sparse gap (the real fhd-vs-pointpillars spacing ratio is only
+# 0.4 m vs 0.32 m). sparse_fine: halve voxels → 128² grid /8 → 16² anchors.
+# dense_coarse: RPN out-stride 4 → 16² anchors. Compare these two.
 PATCH_sparse_fine=(
   --patchs "model.voxel_generator.voxel_size=[0.125, 0.125, 0.1]"
-  --patchs "model.rpn.upsample_strides=[2, 4]"
+)
+PATCH_dense_coarse=(
+  --patchs "model.rpn.layer_strides=[4, 2]"
 )
 
-for kind in dense sparse sparse_fine; do
+for kind in dense sparse sparse_fine dense_coarse; do
   cap=$(eval echo \$CAP_$kind)
   eval "patches=(\"\${PATCH_$kind[@]}\")"
   cfg=$OUT/tiny_${kind%_fine}.config
