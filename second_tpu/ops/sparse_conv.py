@@ -254,7 +254,18 @@ def gather_taps(features, keys_sorted, base_coords, base_valid, grid_dhw,
 
 def flat_rows(src, idx):
     """src [B, N, C], idx [B, ...] int32 → src[b, idx[b, ...]] via ONE flat
-    gather over [B*N, C] (see note above)."""
+    gather over [B*N, C] (see note above).
+
+    SECOND_TPU_PALLAS_GATHER=1 reroutes through the Pallas DMA row-gather
+    kernel (ops/pallas/gather.py) — the XLA gather sustains only ~50-95 GB/s
+    on TPU; explicit overlapped row DMAs are the speed-of-light path. Off by
+    default: the current axon runtime hangs on remote Pallas compiles
+    (NOTES.md); flip once benched on a healthy Pallas runtime. Checked at
+    trace time so tests can monkeypatch the environment.
+    """
+    if os.environ.get("SECOND_TPU_PALLAS_GATHER") == "1":
+        from .pallas.gather import flat_rows_pallas
+        return flat_rows_pallas(src, idx)
     B, N, C = src.shape
     off = (jnp.arange(B, dtype=jnp.int32) * N).reshape(
         (B,) + (1,) * (idx.ndim - 1))
