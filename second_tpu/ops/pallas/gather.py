@@ -6,10 +6,11 @@ peak (measured, `scripts/bench_gather_micro.py`) — it is the dominant cost
 of every sparse-conv apply (`ops/sparse_conv.py:flat_rows`, the role of the
 reference's scatter/gather inside spconv's CUDA rulebook apply,
 `middle.py:429-509`). This kernel issues the row copies as *explicit
-overlapped DMAs*: the index vector is scalar-prefetched into SMEM, the
-source stays in HBM, and each grid tile keeps `inflight` row DMAs in the
-air while writing straight into the pipelined VMEM output block — the DMA
-engines, not a gather loop, move the bytes.
+overlapped DMAs*: each grid tile first DMAs its index block HBM→SMEM, then
+keeps `inflight` row DMAs in the air writing straight into the pipelined
+VMEM output block — the DMA engines, not a gather loop, move the bytes.
+(Indices are NOT scalar-prefetched: the hot call sites gather ~1.5M rows
+per conv and SMEM cannot hold the full index vector.)
 
 Activation: `SECOND_TPU_PALLAS_GATHER=1` reroutes `flat_rows` here (TPU
 backends only). Correctness is pinned by interpret-mode tests against the
@@ -28,13 +29,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _gather_kernel(T: int, inflight: int, idx_ref, src_ref, out_ref, sems):
+def _gather_kernel(T: int, inflight: int, idx_hbm, src_ref, out_ref,
+                   idx_smem, idx_sem, sems):
     t = pl.program_id(0)
+    # stage this tile's T indices into SMEM first (one descriptor)
+    pltpu.make_async_copy(idx_hbm.at[pl.ds(t * T, T)], idx_smem,
+                          idx_sem).start()
+    pltpu.make_async_copy(idx_hbm.at[pl.ds(t * T, T)], idx_smem,
+                          idx_sem).wait()
 
     def dma(r):
-        g = idx_ref[t * T + r]
         return pltpu.make_async_copy(
-            src_ref.at[g], out_ref.at[r], sems.at[r % inflight])
+            src_ref.at[idx_smem[r]], out_ref.at[r], sems.at[r % inflight])
 
     # rolling window: keep `inflight` row copies outstanding (statically
     # unrolled — T descriptor pairs, no data-dependent control flow)
@@ -61,17 +67,16 @@ def gather_rows_pallas(src, idx, *, rows_per_tile: int = 128,
     Mp = -(-M // T) * T
     idx_p = jnp.zeros((Mp,), jnp.int32).at[:M].set(idx.astype(jnp.int32))
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(Mp // T,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((T, W), lambda i, idx_ref: (i, 0)),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((min(inflight, T),))],
-    )
     out = pl.pallas_call(
         functools.partial(_gather_kernel, T, min(inflight, T)),
-        grid_spec=grid_spec,
+        grid=(Mp // T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((T, W), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((Mp, W), src.dtype),
+        scratch_shapes=[pltpu.SMEM((T,), jnp.int32),
+                        pltpu.SemaphoreType.DMA(()),
+                        pltpu.SemaphoreType.DMA((min(inflight, T),))],
         interpret=interpret,
     )(idx_p, src)
     return out[:M]

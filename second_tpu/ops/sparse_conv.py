@@ -410,16 +410,27 @@ def subm_rulebook_b(coords, keys_sorted, valid, grid_dhw,
 
 def subm_conv3d_b(features, coords, keys_sorted, valid, grid_dhw, weights,
                   bias=None, rulebook=None):
-    """Batched `subm_conv3d`: features [B, N, Cin] → [B, N, Cout]."""
+    """Batched `subm_conv3d`: features [B, N, Cin] → [B, N, Cout].
+
+    SECOND_TPU_PALLAS_SUBM=1 routes the apply through the fused Pallas
+    kernel (ops/pallas/subm.py): window-slab DMAs + in-VMEM tap selection +
+    one MXU matmul — the [B, K, N, Cin] tap stack never touches HBM. Off by
+    default (axon runtime hangs on remote Pallas compiles, NOTES.md).
+    """
     K = weights.shape[0]
     kernel_size = _round_kernel(K)
     if rulebook is None:
         rulebook = subm_rulebook_b(coords, keys_sorted, valid, grid_dhw,
                                    kernel_size)
-    stacked = gather_taps_rb_b(features, *rulebook)         # [B, K, N, Cin]
-    out = jnp.einsum("bknc,kcd->bnd", stacked,
-                     weights.astype(features.dtype),
-                     preferred_element_type=jnp.float32)
+    if os.environ.get("SECOND_TPU_PALLAS_SUBM") == "1":
+        from .pallas.subm import subm_conv3d_fused_pallas
+        out = subm_conv3d_fused_pallas(features, rulebook[0], rulebook[1],
+                                       weights)
+    else:
+        stacked = gather_taps_rb_b(features, *rulebook)     # [B, K, N, Cin]
+        out = jnp.einsum("bknc,kcd->bnd", stacked,
+                         weights.astype(features.dtype),
+                         preferred_element_type=jnp.float32)
     if bias is not None:
         out = out + bias
     return jnp.where(valid[..., None], out, 0.0)
