@@ -17,8 +17,11 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("PALLAS_AXON_POOL_IPS", "")
+# unconditional: the sitecustomize force-sets JAX_PLATFORMS=axon before any
+# script code runs, so setdefault would leave this CPU diagnostic trying to
+# claim the TPU
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 
 import numpy as np
 
