@@ -15,6 +15,14 @@ SECOND_TPU_DENSE_RANK_CELLS=100000000 python bench.py > /tmp/rb/bench_dense100M.
 # 2b. A/B the approx-top_k predict prefilter
 SECOND_TPU_APPROX_TOPK=1 python bench.py > /tmp/rb/bench_approxtopk.log 2>&1
 
+# 2c. batch-8 throughput (amortizes the ~30 ms tunnel RTT per call; if it
+#     wins clearly, flip BATCH default in bench.py)
+BENCH_BATCH=8 python bench.py > /tmp/rb/bench_b8.log 2>&1
+
+# 2d. combined best-candidate flags (rulebook dense-rank + approx topk)
+SECOND_TPU_DENSE_RANK_CELLS=16000000 SECOND_TPU_APPROX_TOPK=1 \
+  python bench.py > /tmp/rb/bench_combo.log 2>&1
+
 # 3. fhd OneCycle training (north-star accuracy experiment), resumable
 python -m second_tpu.train.run train \
   --config_path second_tpu/configs/second_car_fhd_onecycle.config \
