@@ -11,7 +11,7 @@ export PALLAS_AXON_POOL_IPS=
 export JAX_PLATFORMS=cpu
 STEPS=${STEPS:-600}
 DS=${DS:-64}
-OUT=/tmp/ab
+OUT=${OUT:-/tmp/ab}
 mkdir -p $OUT
 
 python - <<'EOF'
@@ -43,7 +43,8 @@ PATCH_dense_coarse=(
   --patchs "model.rpn.layer_strides=[4, 2]"
 )
 
-for kind in dense sparse sparse_fine dense_coarse; do
+KINDS=${KINDS:-"dense sparse sparse_fine dense_coarse"}
+for kind in $KINDS; do
   cap=$(eval echo \$CAP_$kind)
   eval "patches=(\"\${PATCH_$kind[@]}\")"
   cfg=$OUT/tiny_${kind%_fine}.config
