@@ -14,11 +14,13 @@ DS=${DS:-64}
 OUT=${OUT:-/tmp/ab}
 mkdir -p $OUT
 
-python - <<'EOF'
+AB_OUT=$OUT python - <<'EOF'
+import os
 from second_tpu import testing
-with open('/tmp/ab/tiny_dense.config', 'w') as f:
+out = os.environ["AB_OUT"]
+with open(f'{out}/tiny_dense.config', 'w') as f:
     f.write(testing.TINY_PIPELINE)
-with open('/tmp/ab/tiny_sparse.config', 'w') as f:
+with open(f'{out}/tiny_sparse.config', 'w') as f:
     f.write(testing.TINY_SPARSE_PIPELINE)
 EOF
 
