@@ -512,10 +512,17 @@ def sparse_conv3d_b(features, coords, keys_sorted, valid, grid_dhw, weights,
                                                               np.int32)
     rulebook = gather_rulebook_b(keys_sorted, base, out_valid, grid_dhw,
                                  tuple(int(k) for k in kernel_size))
-    stacked = gather_taps_rb_b(features, *rulebook)         # [B, K, M, Cin]
-    out = jnp.einsum("bknc,kcd->bnd", stacked,
-                     weights.astype(features.dtype),
-                     preferred_element_type=jnp.float32)
+    if os.environ.get("SECOND_TPU_PALLAS_SUBM") == "1":
+        # the fused apply is rulebook-generic: strided convs share the
+        # (safe, sel) semantics, only the query set differs
+        from .pallas.subm import subm_conv3d_fused_pallas
+        out = subm_conv3d_fused_pallas(features, rulebook[0], rulebook[1],
+                                       weights)
+    else:
+        stacked = gather_taps_rb_b(features, *rulebook)     # [B, K, M, Cin]
+        out = jnp.einsum("bknc,kcd->bnd", stacked,
+                         weights.astype(features.dtype),
+                         preferred_element_type=jnp.float32)
     if bias is not None:
         out = out + bias
     out = jnp.where(out_valid[..., None], out, 0.0)

@@ -456,3 +456,26 @@ class TestPallasFusedSubM:
         assert calls
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+    def test_env_switch_strided_conv(self, monkeypatch):
+        """The fused Pallas apply is rulebook-generic: strided sparse convs
+        under SECOND_TPU_PALLAS_SUBM=1 match the XLA einsum path."""
+        import second_tpu.ops.pallas.subm as psubm
+        orig = psubm.subm_conv3d_fused_pallas
+        monkeypatch.setattr(
+            psubm, "subm_conv3d_fused_pallas",
+            lambda f, safe, sel, w, **kw: orig(f, safe, sel, w,
+                                               interpret=True))
+        rng = np.random.default_rng(34)
+        grid = (6, 8, 10)
+        coords, feats, valid, keys = self._batch(rng, grid, 48, 4, B=2)
+        w = jnp.asarray(rng.normal(0, 0.3, (27, 4, 6)).astype(np.float32))
+        args = (feats, coords, keys, valid, grid, w,
+                (3, 3, 3), (2, 2, 2), (1, 1, 1), 48)
+        ref = sp.sparse_conv3d_b(*args)
+        monkeypatch.setenv("SECOND_TPU_PALLAS_SUBM", "1")
+        got = sp.sparse_conv3d_b(*args)
+        for a, b in zip(got[1:], ref[1:]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                                   rtol=1e-5, atol=1e-5)
