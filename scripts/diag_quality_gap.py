@@ -7,8 +7,10 @@ stats (dx/dy/dz/dl/dw/dh/dyaw) plus matched BEV/3D IoU. Purpose: bbox AP
 parity with a collapsed 3D AP means *some* box dimension is systematically
 off — this pins which one (z-center? height? yaw?) instead of guessing.
 
-Usage:
-    JAX_PLATFORMS=cpu python scripts/diag_quality_gap.py \
+Usage (both vars MUST be cleared in the *shell* env — sitecustomize dials the
+TPU at interpreter startup when PALLAS_AXON_POOL_IPS is set, before the
+os.environ overrides below can run):
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/diag_quality_gap.py \
         --config_path /tmp/ab/tiny_sparse.config --model_dir /tmp/ab/m_sparse \
         --frames 16 [--patchs ...]
 """

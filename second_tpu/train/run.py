@@ -620,6 +620,17 @@ class Trainer:
         text, detail = kitti_eval.get_official_eval_result(
             gt_annos, dt_annos, classes)
         step = int(state.step)
+        # Persist detections like the reference (train.py:443,501: pickle of
+        # per-frame KITTI annos under eval_results/step_N/result.pkl) — the
+        # viewer's /api/read_detection overlays this file, and offline error
+        # analysis can rerun on it without touching the device.
+        import pickle
+        result_dir = self.model_dir / "eval_results" / f"step_{step}"
+        result_dir.mkdir(parents=True, exist_ok=True)
+        with open(result_dir / "result.pkl", "wb") as f:
+            pickle.dump(dt_annos, f)
+        with open(result_dir / "gt.pkl", "wb") as f:
+            pickle.dump(gt_annos, f)
         self.logger.log_text(step, "eval", text)
         self.logger.log(step, {"frames_per_sec": fps,
                                "frames_per_sec_steady": steady_fps,

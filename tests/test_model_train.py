@@ -291,6 +291,14 @@ class TestDataParallelEval:
         detail = trainer.evaluate(state, max_frames=8)
         assert any("/3d" in k for k in detail)
         assert trainer._last_eval_stats["num_detections"] >= 0
+        # evaluate persists detections like the reference (train.py:443,501)
+        import pickle
+        steps = sorted((tmp_path / "run" / "eval_results").glob("step_*"))
+        assert steps, "evaluate did not write eval_results/step_N"
+        with open(steps[-1] / "result.pkl", "rb") as f:
+            dt_annos = pickle.load(f)
+        assert isinstance(dt_annos, list) and len(dt_annos) == 8
+        assert all("location" in a and "score" in a for a in dt_annos)
 
     @pytest.mark.slow
     def test_trainer_dp_train_path(self, tmp_path):
