@@ -30,8 +30,9 @@ import numpy as np
 
 def match_errors(det_boxes, det_scores, gt_boxes, max_dist=2.0):
     """Greedy score-ordered BEV-center matching; returns [M, 8] error rows
-    (dx, dy, dz, dl, dw, dh, dyaw, score) and the number of unmatched gt."""
-    rows = []
+    (dx, dy, dz, dw, dl, dh, dyaw, score), the number of unmatched gt, and
+    the matched (det, gt) box pairs ([M, 7] each)."""
+    rows, pd, pg = [], [], []
     used = np.zeros(len(gt_boxes), bool)
     order = np.argsort(-det_scores)
     for i in order:
@@ -48,7 +49,10 @@ def match_errors(det_boxes, det_scores, gt_boxes, max_dist=2.0):
         rows.append([p[0] - g[0], p[1] - g[1], p[2] - g[2],
                      p[3] - g[3], p[4] - g[4], p[5] - g[5], dyaw,
                      det_scores[i]])
-    return np.array(rows).reshape(-1, 8), int((~used).sum())
+        pd.append(p)
+        pg.append(g)
+    return (np.array(rows).reshape(-1, 8), int((~used).sum()),
+            np.array(pd).reshape(-1, 7), np.array(pg).reshape(-1, 7))
 
 
 def iou3d_matched(det_boxes, gt_boxes, errs_like):
@@ -67,14 +71,80 @@ def iou3d_matched(det_boxes, gt_boxes, errs_like):
     return np.array(out).reshape(-1, 2)
 
 
+def _annos_to_lidar(anno):
+    """Invert run.py's `_synthetic_lidar_to_camera_annos`: camera-frame anno
+    dict → lidar boxes [N, 7] (x y z w l h yaw) + scores."""
+    loc = np.asarray(anno["location"], np.float64).reshape(-1, 3)
+    dims = np.asarray(anno["dimensions"], np.float64).reshape(-1, 3)  # l h w
+    rot = np.asarray(anno["rotation_y"], np.float64).reshape(-1)
+    boxes = np.stack([loc[:, 2], -loc[:, 0], -loc[:, 1],
+                      dims[:, 2], dims[:, 0], dims[:, 1], -rot], 1)
+    return boxes, np.asarray(anno.get("score", np.zeros(len(boxes))),
+                             np.float64)
+
+
+def report(all_rows, all_iou, hit, miss):
+    if not all_rows:
+        print("no matches at all — detector is not localizing")
+        return
+    E = np.concatenate(all_rows)
+    # lidar box layout is (x, y, z, w, l, h, yaw)
+    names = ["dx", "dy", "dz", "dw", "dl", "dh", "dyaw"]
+    print(f"\nmatched {hit} det↔gt pairs, {miss} gt unmatched "
+          f"(recall proxy {hit / max(hit + miss, 1):.2f})")
+    print(f"{'dim':>5} {'mean':>8} {'|mean|':>8} {'std':>8} {'p90|e|':>8}")
+    for i, nm in enumerate(names):
+        e = E[:, i]
+        print(f"{nm:>5} {e.mean():>8.3f} {np.abs(e).mean():>8.3f} "
+              f"{e.std():>8.3f} {np.percentile(np.abs(e), 90):>8.3f}")
+    IU = np.concatenate(all_iou)
+    print(f"\nz-axis IoU (matched): mean {IU[:, 0].mean():.3f}  "
+          f"p10 {np.percentile(IU[:, 0], 10):.3f}")
+    print(f"BEV area ratio:        mean {IU[:, 1].mean():.3f}")
+
+
+def main_offline(args):
+    """Offline mode: decompose errors straight from a persisted
+    eval_results/step_N directory (result.pkl + gt.pkl written by
+    run.py evaluate) — no model forward, no device."""
+    import pickle
+    d = args.annos_dir
+    with open(os.path.join(d, "result.pkl"), "rb") as f:
+        dt_annos = pickle.load(f)
+    with open(os.path.join(d, "gt.pkl"), "rb") as f:
+        gt_annos = pickle.load(f)
+    all_rows, all_iou = [], []
+    miss = hit = 0
+    for gt_a, dt_a in zip(gt_annos, dt_annos):
+        gt, _ = _annos_to_lidar(gt_a)
+        car = np.asarray(gt_a["name"]) == "Car"
+        gt = gt[car]
+        det, scores = _annos_to_lidar(dt_a)
+        keep = scores >= args.score_thresh
+        det, scores = det[keep], scores[keep]
+        rows, unmatched, mpd, mpg = match_errors(det, scores, gt)
+        miss += unmatched
+        hit += len(rows)
+        if len(rows):
+            all_rows.append(rows)
+            all_iou.append(iou3d_matched(mpd, mpg, rows))
+    report(all_rows, all_iou, hit, miss)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config_path", required=True)
-    ap.add_argument("--model_dir", required=True)
+    ap.add_argument("--config_path")
+    ap.add_argument("--model_dir")
+    ap.add_argument("--annos_dir", help="offline: eval_results/step_N dir "
+                    "with result.pkl+gt.pkl (no device needed)")
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--score_thresh", type=float, default=0.3)
     ap.add_argument("--patchs", action="append", default=None)
     args = ap.parse_args()
+    if args.annos_dir:
+        return main_offline(args)
+    if not (args.config_path and args.model_dir):
+        ap.error("--config_path/--model_dir required without --annos_dir")
 
     import jax.numpy as jnp
     from second_tpu.train.run import Trainer
@@ -105,31 +175,14 @@ def main():
             gt = np.asarray(scene["gt_boxes"], np.float64)
             gt = gt[[n == "Car" for n in scene["gt_names"]]] \
                 if "gt_names" in scene else gt
-            rows, unmatched = match_errors(boxes, scores, gt)
+            rows, unmatched, mpd, mpg = match_errors(boxes, scores, gt)
             miss += unmatched
             hit += len(rows)
             if len(rows):
                 all_rows.append(rows)
-                mb = boxes[np.argsort(-scores)][:len(rows)]
-                all_iou.append(iou3d_matched(
-                    mb, gt[:len(rows)], rows))
+                all_iou.append(iou3d_matched(mpd, mpg, rows))
 
-    if not all_rows:
-        print("no matches at all — detector is not localizing")
-        return
-    E = np.concatenate(all_rows)
-    names = ["dx", "dy", "dz", "dl", "dw", "dh", "dyaw"]
-    print(f"\nmatched {hit} det↔gt pairs, {miss} gt unmatched "
-          f"(recall proxy {hit / max(hit + miss, 1):.2f})")
-    print(f"{'dim':>5} {'mean':>8} {'|mean|':>8} {'std':>8} {'p90|e|':>8}")
-    for i, nm in enumerate(names):
-        e = E[:, i]
-        print(f"{nm:>5} {e.mean():>8.3f} {np.abs(e).mean():>8.3f} "
-              f"{e.std():>8.3f} {np.percentile(np.abs(e), 90):>8.3f}")
-    IU = np.concatenate(all_iou)
-    print(f"\nz-axis IoU (matched): mean {IU[:, 0].mean():.3f}  "
-          f"p10 {np.percentile(IU[:, 0], 10):.3f}")
-    print(f"BEV area ratio:        mean {IU[:, 1].mean():.3f}")
+    report(all_rows, all_iou, hit, miss)
 
 
 if __name__ == "__main__":
