@@ -67,3 +67,13 @@ python -m second_tpu.train.run evaluate \
   --model_dir /tmp/fhd_fp32 --synthetic --dataset_size 128 --max_frames 64 \
   --patchs "train_config.enable_mixed_precision=False" \
   > /tmp/rb/fhd_fp32_eval.log 2>&1
+
+# 7. Offline per-dim error decomposition on every eval's persisted annos
+#    (result.pkl/gt.pkl written by evaluate since r4) — pins which box
+#    dimensions fail at fhd scale without re-claiming the chip.
+for md in /tmp/fhd_oc2 /tmp/pp_oc2 /tmp/fhd_fp32; do
+  last=$(ls -d "$md"/eval_results/step_* 2>/dev/null | sort -V | tail -1)
+  [ -n "$last" ] && PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+    python scripts/diag_quality_gap.py --annos_dir "$last" \
+    > /tmp/rb/diag_$(basename "$md").log 2>&1
+done
