@@ -32,6 +32,24 @@ python -m second_tpu.train.run train \
   --patchs "train_config.save_checkpoints_secs=420" \
   > /tmp/rb/fhd_train.log 2>&1
 
+# 3b. Zero-overflow control: same recipe with the train voxel cap raised to
+#     cover the whole scan cloud (~21.5k voxels; r2 runs overflowed 16k by
+#     ~5.1k/step). vs (3) this separates "any 24% random drop hurts" from
+#     "the old z-biased cut was the damage" — (3) now drops a hash-uniform
+#     subset, (3b) drops nothing.
+python -m second_tpu.train.run train \
+  --config_path second_tpu/configs/second_car_fhd_onecycle.config \
+  --model_dir /tmp/fhd_oc_nocap --synthetic --dataset_size 128 --steps 2500 \
+  --patchs "train_input_reader.batch_size=2" \
+  --patchs "train_config.steps_per_eval=0" \
+  --patchs "train_config.save_checkpoints_secs=420" \
+  --patchs "train_input_reader.max_number_of_voxels=26000" \
+  > /tmp/rb/fhd_nocap_train.log 2>&1
+python -m second_tpu.train.run evaluate \
+  --config_path second_tpu/configs/second_car_fhd_onecycle.config \
+  --model_dir /tmp/fhd_oc_nocap --synthetic --dataset_size 128 --max_frames 64 \
+  > /tmp/rb/fhd_nocap_eval.log 2>&1
+
 # 4. Evaluate it (official AP on held-out synthetic scans) — also the
 #    eval-throughput drill: check frames_per_sec_steady >= 20 in the log
 python -m second_tpu.train.run evaluate \
@@ -71,7 +89,7 @@ python -m second_tpu.train.run evaluate \
 # 7. Offline per-dim error decomposition on every eval's persisted annos
 #    (result.pkl/gt.pkl written by evaluate since r4) — pins which box
 #    dimensions fail at fhd scale without re-claiming the chip.
-for md in /tmp/fhd_oc2 /tmp/pp_oc2 /tmp/fhd_fp32; do
+for md in /tmp/fhd_oc2 /tmp/fhd_oc_nocap /tmp/pp_oc2 /tmp/fhd_fp32; do
   last=$(ls -d "$md"/eval_results/step_* 2>/dev/null | sort -V | tail -1)
   [ -n "$last" ] && PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
     python scripts/diag_quality_gap.py --annos_dir "$last" \
