@@ -1,0 +1,40 @@
+#!/bin/bash
+# Collect round-4 runbook results from /tmp/rb into a repo file so chip
+# results survive even if no session is watching when they land.
+OUT=/root/repo/RB_RESULTS_r4.md
+{
+  echo "# Round-4 hardware runbook results ($(date -u +%FT%TZ))"
+  echo
+  echo "## Bench legs (one JSON line each; fhd e2e fps, vs 20 fps baseline)"
+  for f in /tmp/rb/bench_*.log; do
+    [ -f "$f" ] || continue
+    echo "### $(basename "$f")"
+    grep -a '"metric"' "$f" | tail -1
+    echo
+  done
+  echo "## Training quality legs (official AP on held-out synthetic scans)"
+  for f in /tmp/rb/fhd_eval.log /tmp/rb/fhd_nocap_eval.log \
+           /tmp/rb/pp_eval.log /tmp/rb/fhd_fp32_eval.log; do
+    [ -f "$f" ] || continue
+    echo "### $(basename "$f")"
+    grep -aE 'Car AP|bbox AP|bev  AP|3d   AP' "$f" | tail -8
+    grep -ao 'eval\.frames_per_sec[^ ]*' "$f" | tail -2
+    echo
+  done
+  echo "## Per-dimension error decomposition (offline, from persisted annos)"
+  for f in /tmp/rb/diag_*.log; do
+    [ -f "$f" ] || continue
+    echo "### $(basename "$f")"
+    grep -aA12 'matched .* pairs' "$f" | tail -16
+    echo
+  done
+  echo "## Train-loop tails"
+  for f in /tmp/rb/fhd_train.log /tmp/rb/fhd_nocap_train.log \
+           /tmp/rb/pp_train.log /tmp/rb/fhd_fp32_train.log; do
+    [ -f "$f" ] || continue
+    echo "### $(basename "$f")"
+    grep -a '^step=' "$f" | tail -2
+    echo
+  done
+} > "$OUT"
+echo "wrote $OUT"

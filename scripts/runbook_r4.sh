@@ -95,3 +95,6 @@ for md in /tmp/fhd_oc2 /tmp/fhd_oc_nocap /tmp/pp_oc2 /tmp/fhd_fp32; do
     python scripts/diag_quality_gap.py --annos_dir "$last" \
     > /tmp/rb/diag_$(basename "$md").log 2>&1
 done
+
+# 8. Summarize everything into the repo (survives unattended completion)
+bash scripts/rb_summarize.sh
