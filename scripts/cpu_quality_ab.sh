@@ -49,7 +49,7 @@ KINDS=${KINDS:-"dense sparse sparse_fine dense_coarse"}
 for kind in $KINDS; do
   cap=$(eval echo \$CAP_$kind)
   eval "patches=(\"\${PATCH_$kind[@]}\")"
-  cfg=$OUT/tiny_${kind%_fine}.config
+  cfg=$OUT/tiny_${kind%%_*}.config  # dense_coarse -> tiny_dense, sparse_fine -> tiny_sparse
   rm -rf $OUT/m_$kind
   python -m second_tpu.train.run train \
     --config_path $cfg --model_dir $OUT/m_$kind \
