@@ -96,5 +96,19 @@ for md in /tmp/fhd_oc2 /tmp/fhd_oc_nocap /tmp/pp_oc2 /tmp/fhd_fp32; do
     > /tmp/rb/diag_$(basename "$md").log 2>&1
 done
 
-# 8. Summarize everything into the repo (survives unattended completion)
+# 8. Summarize everything landed so far into the repo FIRST (the Pallas
+#    legs below can hang the tunnel; don't let them doom earlier results)
+bash scripts/rb_summarize.sh
+
+# 9. Pallas kernel A/Bs — LAST and timeout-bounded: remote Pallas compile
+#    has hung before, and killing a blocked tunnel call can re-wedge the
+#    claim. 2400 s covers the ~10 min first-compile.
+timeout 2400 env SECOND_TPU_PALLAS_GATHER=1 \
+  python bench.py > /tmp/rb/bench_pallas_gather.log 2>&1
+timeout 2400 env SECOND_TPU_PALLAS_SUBM=1 \
+  python bench.py > /tmp/rb/bench_pallas_subm.log 2>&1
+timeout 2400 env SECOND_TPU_PALLAS_GATHER=1 SECOND_TPU_PALLAS_SUBM=1 \
+  python bench.py > /tmp/rb/bench_pallas_both.log 2>&1
+
+# 10. Re-summarize with the Pallas legs included
 bash scripts/rb_summarize.sh
