@@ -152,6 +152,15 @@ def main():
 
 
 def _run():
+    # Guard against a silent CPU fallback (axon registration can fail at
+    # interpreter startup and be swallowed by sitecustomize): a CPU number
+    # must never be recorded as the chip figure.
+    import jax
+    platform = jax.devices()[0].platform
+    if platform == "cpu" and os.environ.get("BENCH_ALLOW_CPU") != "1":
+        raise RuntimeError(
+            "default JAX backend is CPU, not the TPU chip; refusing to "
+            "record a CPU number (set BENCH_ALLOW_CPU=1 to override)")
     # fhd runs at the reference's EVAL voxel capacity (40k, config `:198`;
     # the 16k figure is the reference's train-time memory cap) so the benched
     # workload is the full scene: voxel_overflow must be 0 in the output.
