@@ -70,8 +70,8 @@ def gather_rows_pallas(src, idx, *, rows_per_tile: int = 128,
     out = pl.pallas_call(
         functools.partial(_gather_kernel, T, min(inflight, T)),
         grid=(Mp // T,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((T, W), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((Mp, W), src.dtype),
         scratch_shapes=[pltpu.SMEM((T,), jnp.int32),

@@ -121,8 +121,8 @@ def subm_conv3d_fused_pallas(features, safe, sel, weights, *,
         functools.partial(_fused_kernel, T, G, kx, infl),
         grid=(Mp // T,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),            # safe
-            pl.BlockSpec(memory_space=pltpu.ANY),            # features
+            pl.BlockSpec(memory_space=pl.ANY),            # safe
+            pl.BlockSpec(memory_space=pl.ANY),            # features
             pl.BlockSpec((T, K, kx), lambda i: (i, 0, 0)),   # sel
             pl.BlockSpec((K * C, D), lambda i: (0, 0)),      # weights
         ],
