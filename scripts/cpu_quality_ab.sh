@@ -12,6 +12,7 @@ export JAX_PLATFORMS=cpu
 STEPS=${STEPS:-600}
 DS=${DS:-64}
 OUT=${OUT:-/tmp/ab}
+SPE=${SPE:-0}   # steps_per_eval during training (0 = final eval only)
 mkdir -p $OUT
 
 AB_OUT=$OUT python - <<'EOF'
@@ -54,7 +55,7 @@ for kind in $KINDS; do
   python -m second_tpu.train.run train \
     --config_path $cfg --model_dir $OUT/m_$kind \
     --synthetic --dataset_size $DS --steps $STEPS \
-    --patchs "train_config.steps_per_eval=0" \
+    --patchs "train_config.steps_per_eval=$SPE" \
     --patchs "train_input_reader.max_number_of_voxels=$cap" \
     --patchs "eval_input_reader.max_number_of_voxels=$cap" \
     ${patches[@]+"${patches[@]}"} \
