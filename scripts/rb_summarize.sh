@@ -12,6 +12,11 @@ OUT=/root/repo/RB_RESULTS_r4.md
     grep -a '"metric"' "$f" | tail -1
     echo
   done
+  if [ -f /tmp/rb/segments_40k.log ]; then
+    echo "## Per-segment attribution (40k eval voxels)"
+    tail -20 /tmp/rb/segments_40k.log
+    echo
+  fi
   echo "## Training quality legs (official AP on held-out synthetic scans)"
   for f in /tmp/rb/fhd_eval.log /tmp/rb/fhd_nocap_eval.log \
            /tmp/rb/pp_eval.log /tmp/rb/fhd_fp32_eval.log; do

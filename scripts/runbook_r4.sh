@@ -23,6 +23,11 @@ BENCH_BATCH=8 python bench.py > /tmp/rb/bench_b8.log 2>&1
 SECOND_TPU_DENSE_RANK_CELLS=16000000 SECOND_TPU_APPROX_TOPK=1 \
   python bench.py > /tmp/rb/bench_combo.log 2>&1
 
+# 2e. per-segment attribution at the honest 40k eval capacity (judge asked
+#     for per-segment numbers next to the headline fps)
+BENCH_MAX_VOXELS=40000 python scripts/bench_fhd_stages.py \
+  > /tmp/rb/segments_40k.log 2>&1
+
 # 3. fhd OneCycle training (north-star accuracy experiment), resumable
 python -m second_tpu.train.run train \
   --config_path second_tpu/configs/second_car_fhd_onecycle.config \
