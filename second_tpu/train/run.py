@@ -631,6 +631,18 @@ class Trainer:
             pickle.dump(dt_annos, f)
         with open(result_dir / "gt.pkl", "wb") as f:
             pickle.dump(gt_annos, f)
+        # KITTI submission-format label files, one per frame (reference
+        # train.py:781-790 writes result_path_step/txt/%06d.txt from the
+        # detection annos; benchmark-server uploads consume these).
+        from ..data import kitti
+        txt_dir = result_dir / "txt"
+        txt_dir.mkdir(exist_ok=True)
+        for i, anno in enumerate(dt_annos):
+            idx = anno.get("image_idx", i)
+            idx = int(np.atleast_1d(idx)[0]) if np.size(idx) else i
+            lines = kitti.annos_to_kitti_label(anno)
+            with open(txt_dir / f"{idx:06d}.txt", "w") as f:
+                f.write("\n".join(lines) + ("\n" if lines else ""))
         self.logger.log_text(step, "eval", text)
         self.logger.log(step, {"frames_per_sec": fps,
                                "frames_per_sec_steady": steady_fps,

@@ -299,6 +299,13 @@ class TestDataParallelEval:
             dt_annos = pickle.load(f)
         assert isinstance(dt_annos, list) and len(dt_annos) == 8
         assert all("location" in a and "score" in a for a in dt_annos)
+        # …and KITTI submission-format label files (reference train.py:781)
+        txts = sorted((steps[-1] / "txt").glob("*.txt"))
+        assert len(txts) == 8
+        from second_tpu.data.kitti import get_label_anno
+        total = sum(len(a["name"]) for a in dt_annos)
+        parsed = sum(len(get_label_anno(t)["name"]) for t in txts)
+        assert parsed == total
 
     @pytest.mark.slow
     def test_trainer_dp_train_path(self, tmp_path):
