@@ -74,6 +74,12 @@ class CheckpointManager:
             return None
         return int(latest.rsplit("-", 1)[1])
 
+    def all_steps(self) -> list:
+        """All retained checkpoint steps, oldest→newest (manifest 'all')."""
+        manifest = self._read_manifest()
+        return [int(name.rsplit("-", 1)[1])
+                for name in manifest["all"].get(self._name, [])]
+
     def restore(self, target: Any, step: Optional[int] = None) -> Any:
         """Restore into the structure of `target` (a template pytree)."""
         if step is None:

@@ -371,7 +371,7 @@ class Trainer:
                     out[k] = jnp.asarray(v)
             yield out
 
-    def _init_state(self, batch):
+    def _init_state(self, batch, ckpt_step=None):
         if self.model_type == "one_stage":
             state = TrainState.create(self.module, self.tx,
                                       jax.random.PRNGKey(0), self.vspec,
@@ -391,10 +391,14 @@ class Trainer:
             state = create_temporal_state(self.module, self.tx,
                                           jax.random.PRNGKey(0), self.vspec,
                                           batch)
-        restored = self.ckpt.try_restore_latest(state)
-        if restored is not None:
-            state = restored
-            print(f"restored checkpoint at step {int(state.step)}")
+        if ckpt_step is not None:   # reference evaluate(ckpt_path=...)
+            state = self.ckpt.restore(state, step=ckpt_step)
+            print(f"restored checkpoint at step {ckpt_step}")
+        else:
+            restored = self.ckpt.try_restore_latest(state)
+            if restored is not None:
+                state = restored
+                print(f"restored checkpoint at step {int(state.step)}")
         if self._train_mesh is not None:
             from ..parallel import replicate_state
             state = replicate_state(state, self._train_mesh)
@@ -508,9 +512,11 @@ class Trainer:
             # tracking-benchmark scenes carry lidar-frame gt but no camera
             # annos — evaluate them through the lidar→camera mapping used
             # for synthetic data
+            skip_gt = getattr(self, "_predict_test", False)
             if self.synthetic or "annos" not in scene:
-                gt_annos.append(_synthetic_lidar_to_camera_annos(
-                    scene["gt_boxes"], scene["gt_names"]))
+                if not skip_gt:
+                    gt_annos.append(_synthetic_lidar_to_camera_annos(
+                        scene["gt_boxes"], scene["gt_names"]))
                 class_names = np.asarray(self.assigner.classes)
                 dt_annos.append(_synthetic_lidar_to_camera_annos(
                     det["boxes"][b][valid],
@@ -525,14 +531,24 @@ class Trainer:
                     scene["calib/P2"], scene.get("img_shape"),
                     self.assigner.classes,
                     self.cfg.model.post_center_limit_range))
-                gt_annos.append(scene["annos"])
+                if not skip_gt:
+                    gt_annos.append(scene["annos"])
 
-    def evaluate(self, state=None, max_frames: Optional[int] = None):
+    def evaluate(self, state=None, max_frames: Optional[int] = None,
+                 ckpt_step: Optional[int] = None,
+                 predict_test: bool = False):
+        """predict_test: write detections (pkl + KITTI txt) without scoring
+        against gt — the reference's test-split submission mode
+        (train.py:652,659-662 `predict_test` → result_name
+        'predict_test_0095', no official eval). ckpt_step: evaluate a
+        specific saved step instead of the latest (reference `ckpt_path`)."""
         from .prefetch import bounded_ordered_map
+        self._predict_test = predict_test
         if state is None:
             batch_size = self.cfg.eval_input_reader.batch_size
             rng = np.random.default_rng(0)
-            state = self._init_state(next(self._batch_iter(batch_size, rng)))
+            state = self._init_state(next(self._batch_iter(batch_size, rng)),
+                                     ckpt_step=ckpt_step)
         batch_size = self.cfg.eval_input_reader.batch_size
         n = len(self.eval_ds)
         if max_frames:
@@ -617,20 +633,25 @@ class Trainer:
         steady_fps = (max(0, len(dt_annos) - batch_size) /
                       max(time.time() - (t_first or t0), 1e-9))
         classes = [c for c in self.assigner.classes]
-        text, detail = kitti_eval.get_official_eval_result(
-            gt_annos, dt_annos, classes)
+        if predict_test:
+            text, detail = "predict_test: detections written, no gt eval", {}
+        else:
+            text, detail = kitti_eval.get_official_eval_result(
+                gt_annos, dt_annos, classes)
         step = int(state.step)
         # Persist detections like the reference (train.py:443,501: pickle of
         # per-frame KITTI annos under eval_results/step_N/result.pkl) — the
         # viewer's /api/read_detection overlays this file, and offline error
         # analysis can rerun on it without touching the device.
         import pickle
-        result_dir = self.model_dir / "eval_results" / f"step_{step}"
+        result_name = "predict_test" if predict_test else "eval_results"
+        result_dir = self.model_dir / result_name / f"step_{step}"
         result_dir.mkdir(parents=True, exist_ok=True)
         with open(result_dir / "result.pkl", "wb") as f:
             pickle.dump(dt_annos, f)
-        with open(result_dir / "gt.pkl", "wb") as f:
-            pickle.dump(gt_annos, f)
+        if not predict_test:
+            with open(result_dir / "gt.pkl", "wb") as f:
+                pickle.dump(gt_annos, f)
         # KITTI submission-format label files, one per frame (reference
         # train.py:781-790 writes result_path_step/txt/%06d.txt from the
         # detection annos; benchmark-server uploads consume these).
@@ -675,6 +696,13 @@ def main():
     parser.add_argument("--profile_steps", type=int, default=0,
                         help="capture a jax.profiler trace of the first N "
                              "train steps into model_dir/profile")
+    parser.add_argument("--ckpt_step", type=int, default=None,
+                        help="evaluate a specific checkpoint step instead "
+                             "of the latest (reference --ckpt_path)")
+    parser.add_argument("--predict_test", action="store_true",
+                        help="write detections (pkl + KITTI txt) without "
+                             "scoring against gt (reference predict_test "
+                             "test-split submission mode)")
     args = parser.parse_args()
     trainer = Trainer(args.config_path, args.model_dir, args.synthetic,
                       args.dataset_size, args.max_points,
@@ -683,7 +711,9 @@ def main():
     if args.command == "train":
         trainer.train(args.steps, profile_steps=args.profile_steps)
     else:
-        trainer.evaluate(max_frames=args.max_frames)
+        trainer.evaluate(max_frames=args.max_frames,
+                         ckpt_step=args.ckpt_step,
+                         predict_test=args.predict_test)
 
 
 if __name__ == "__main__":

@@ -308,6 +308,27 @@ class TestDataParallelEval:
         assert parsed == total
 
     @pytest.mark.slow
+    def test_predict_test_and_ckpt_step(self, tmp_path):
+        """`--predict_test` writes detections (pkl + KITTI txt) with NO gt
+        scoring (reference train.py:652,659-662) and `--ckpt_step` restores
+        a specific saved step (reference evaluate(ckpt_path=...))."""
+        from second_tpu.testing import TINY_PIPELINE
+        from second_tpu.train.run import Trainer
+        cfg_path = tmp_path / "tiny.config"
+        cfg_path.write_text(TINY_PIPELINE)
+        trainer = Trainer(cfg_path, tmp_path / "run", synthetic=True,
+                          dataset_size=8, max_points=3000, total_steps=2)
+        trainer.train(2)
+        saved = trainer.ckpt.all_steps()
+        detail = trainer.evaluate(max_frames=2, ckpt_step=saved[-1],
+                                  predict_test=True)
+        assert detail == {}
+        step_dir = tmp_path / "run" / "predict_test" / f"step_{saved[-1]}"
+        assert (step_dir / "result.pkl").exists()
+        assert not (step_dir / "gt.pkl").exists()
+        assert sorted((step_dir / "txt").glob("*.txt"))
+
+    @pytest.mark.slow
     def test_trainer_dp_train_path(self, tmp_path):
         """CLI DP TRAINING: with batch_size divisible by device count the
         Trainer builds the data mesh, replicates state, shards batches, and
