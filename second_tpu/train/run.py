@@ -638,6 +638,11 @@ class Trainer:
         else:
             text, detail = kitti_eval.get_official_eval_result(
                 gt_annos, dt_annos, classes)
+            # reference prints the COCO-style AP right after the official
+            # one on every eval (train.py:772-776)
+            coco_text, _ = kitti_eval.get_coco_eval_result(
+                gt_annos, dt_annos, classes)
+            text = text + "\n" + coco_text
         step = int(state.step)
         # Persist detections like the reference (train.py:443,501: pickle of
         # per-frame KITTI annos under eval_results/step_N/result.pkl) — the
