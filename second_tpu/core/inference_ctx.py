@@ -43,9 +43,18 @@ class InferenceContext:
         self.vspec = VoxelizeSpec.from_config(
             self.cfg.model.voxel_generator,
             self.cfg.eval_input_reader.max_number_of_voxels)
-        self.prep = ExamplePrep(self.assigner, self.info.feature_map_size,
-                                PrepConfig(max_points=max_points,
-                                           training=False))
+        vg = self.cfg.model.voxel_generator
+        self.prep = ExamplePrep(
+            self.assigner, self.info.feature_map_size,
+            PrepConfig(max_points=max_points, training=False,
+                       anchor_area_threshold=(
+                           self.cfg.eval_input_reader.anchor_area_threshold),
+                       voxel_size=tuple(vg.voxel_size),
+                       pc_range=tuple(vg.point_cloud_range),
+                       # mask computed in-graph (ops/anchors_mask.py), the
+                       # reference anchor_cache's anchors_bv contract
+                       # (core/inference.py:57-75) without host SAT work
+                       device_anchors_mask=True))
         tx, _ = build_optimizer(self.cfg.train_config.optimizer,
                                 self.cfg.train_config.steps)
         dummy = {
@@ -60,7 +69,12 @@ class InferenceContext:
             restored = ckpt.try_restore_latest(self.state)
             if restored is not None:
                 self.state = restored
-        self._eval_step = make_eval_step(self.spec, self.vspec)
+        import jax.numpy as _jnp
+        mi = self.prep.sat_mask_info()
+        mask_info = None if mi is None else (_jnp.asarray(mi[0]), mi[1],
+                                             mi[2])
+        self._eval_step = make_eval_step(self.spec, self.vspec,
+                                         mask_info=mask_info)
         self._dev_const = {}   # anchors device cache, keyed by shape
         self._built = True
         return self

@@ -29,6 +29,10 @@ class PrepConfig:
     # box_np_ops.sparse_sum_for_anchors_mask / fused_get_anchors_area,
     # prep_pointcloud contract); <= 0 disables
     anchor_area_threshold: float = -1.0
+    # eval-only: skip the host SAT mask (the jitted eval step computes it
+    # in-graph from the voxelizer's coords — ops/anchors_mask.py); training
+    # always computes it on host (the target assigner prunes with it)
+    device_anchors_mask: bool = False
     voxel_size: tuple = (0.05, 0.05, 0.1)
     pc_range: tuple = (0.0, -40.0, -3.0, 70.4, 40.0, 1.0)
     # camera-fusion inputs (reference `--use_fusion` example keys: the
@@ -97,7 +101,8 @@ class ExamplePrep:
             "image_idx": scene.get("image_idx", -1),
         }
         anchors_mask = None
-        if self._anchors_bv is not None:
+        if self._anchors_bv is not None and (
+                self._prep.training or not self._prep.device_anchors_mask):
             anchors_mask = self._compute_anchors_mask(scene["points"])
             example["anchors_mask"] = anchors_mask
         if self._prep.use_fusion:
@@ -210,6 +215,22 @@ class ExamplePrep:
         batch["image_idx"] = np.array([e["image_idx"] for e in examples])
         return batch
 
+
+    def sat_mask_info(self):
+        """(sat_corners [A,4] int32, grid_hw, threshold) for the in-graph
+        eval anchors mask (ops/anchors_mask.py), or None when the
+        anchor-area threshold is off."""
+        if self._anchors_bv is None:
+            return None
+        from ..ops.anchors_mask import sat_corner_indices
+        cfg = self._prep
+        vsize = np.asarray(cfg.voxel_size, np.float32)
+        rng_ = np.asarray(cfg.pc_range, np.float32)
+        grid = np.round((rng_[3:] - rng_[:3]) / vsize).astype(np.int64)
+        corners = sat_corner_indices(self._anchors_bv, vsize, rng_,
+                                     (int(grid[0]), int(grid[1])))
+        return corners, (int(grid[1]), int(grid[0])), \
+            float(cfg.anchor_area_threshold)
 
     def _compute_anchors_mask(self, points):
         """Occupancy-SAT anchors mask: anchors whose BEV footprint contains

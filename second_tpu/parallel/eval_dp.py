@@ -35,7 +35,7 @@ def _local_stats(det):
 
 
 def make_dp_eval_step(spec: DetectorSpec, vspec: VoxelizeSpec, mesh: Mesh,
-                      axis_name: str = "data"):
+                      axis_name: str = "data", mask_info=None):
     """Jitted eval step over a data-parallel mesh.
 
     Returns `eval_step(variables, batch) -> (det, stats)` where `det` leaves
@@ -45,13 +45,24 @@ def make_dp_eval_step(spec: DetectorSpec, vspec: VoxelizeSpec, mesh: Mesh,
     `variables` must be replicated and `batch` sharded on its leading axis
     (see `shard_batch` / `replicate_state`). The per-shard batch size is
     B / mesh.size, so B must divide evenly.
+
+    `mask_info = (sat_corners, grid_hw, threshold)` applies the occupancy
+    anchors mask, computed in-graph per shard from the voxelizer's coords
+    (ops/anchors_mask.py) — no host mask to shard.
     """
 
     def shard_fn(variables, points, points_mask, anchors, apply_fn):
         vox = device_voxelize(vspec, points, points_mask)
         preds = apply_fn(variables, vox["voxels"], vox["num_points"],
                          vox["coordinates"], vox["voxel_valid"], train=False)
-        det = predict(spec, preds, anchors)
+        amask = None
+        if mask_info is not None:
+            from ..ops.anchors_mask import anchors_mask_from_coords
+            corners, grid_hw, thr = mask_info
+            amask = anchors_mask_from_coords(
+                vox["coordinates"], vox["voxel_valid"], corners, grid_hw,
+                thr)
+        det = predict(spec, preds, anchors, amask)
         local = jnp.concatenate([
             _local_stats(det),
             vox["voxel_overflow"].astype(jnp.int32)[None]])

@@ -172,7 +172,9 @@ class Trainer:
                        pc_range=tuple(vg.point_cloud_range),
                        **fusion_kwargs))
         # eval-time prep: no target assignment (the reference's
-        # prep_pointcloud with training=False), anchors_mask still applied
+        # prep_pointcloud with training=False), anchors_mask still applied —
+        # for one_stage it moves IN-GRAPH (ops/anchors_mask.py), off the
+        # single-threaded prep path
         self.eval_prep = ExamplePrep(
             self.assigner, self.info.feature_map_size,
             PrepConfig(max_points=max_points, training=False,
@@ -180,6 +182,7 @@ class Trainer:
                            self.cfg.eval_input_reader.anchor_area_threshold),
                        voxel_size=tuple(vg.voxel_size),
                        pc_range=tuple(vg.point_cloud_range),
+                       device_anchors_mask=model_type == "one_stage",
                        **fusion_kwargs))
         self.synthetic = synthetic
         if synthetic:
@@ -243,8 +246,13 @@ class Trainer:
             self.cfg.train_config.optimizer, self.total_steps)
         if model_type == "one_stage":
             self.train_step = make_train_step(self.spec, self.vspec)
+            # in-graph anchors mask (static SAT corners uploaded once)
+            mi = self.eval_prep.sat_mask_info()
+            self._eval_mask_info = None if mi is None else \
+                (jnp.asarray(mi[0]), mi[1], mi[2])
             self.eval_step = make_eval_step(self.spec, self.vspec,
-                                            self.eval_vspec)
+                                            self.eval_vspec,
+                                            mask_info=self._eval_mask_info)
             # multi-device: shard the eval batch over the mesh; detection
             # statistics psum-reduce in-graph (SURVEY 2.6)
             if jax.device_count() > 1 and \
@@ -313,7 +321,9 @@ class Trainer:
         from ..parallel import make_mesh, shard_batch
         from ..parallel.eval_dp import make_dp_eval_step, stats_to_dict
         mesh = make_mesh()
-        dp_step = make_dp_eval_step(self.spec, self.eval_vspec, mesh)
+        dp_step = make_dp_eval_step(self.spec, self.eval_vspec, mesh,
+                                    mask_info=getattr(
+                                        self, "_eval_mask_info", None))
 
         def eval_step(state, batch):
             sbatch = shard_batch(

@@ -143,13 +143,19 @@ def make_train_step(spec: DetectorSpec, vspec: VoxelizeSpec):
 
 
 def make_eval_step(spec: DetectorSpec, vspec: VoxelizeSpec,
-                   eval_vspec: VoxelizeSpec = None):
+                   eval_vspec: VoxelizeSpec = None, mask_info=None):
     """Returns a jitted eval_step(state, batch) → detections
     (the whole voxelize→…→NMS path of BASELINE's north-star metric).
 
     `eval_vspec` lets evaluation use its own voxel capacity — the reference
     evaluates with `eval_input_reader.max_number_of_voxels` (e.g. 40k for fhd
-    vs 16k train, config `:121,198`)."""
+    vs 16k train, config `:121,198`).
+
+    `mask_info = (sat_corners [A,4] int32, grid_hw, threshold)` computes the
+    occupancy anchors mask IN-GRAPH from the voxelizer's coords
+    (ops/anchors_mask.py) instead of consuming a host-computed
+    batch["anchors_mask"] — the reference does this per frame on the host
+    (prep_pointcloud → fused_get_anchors_area)."""
     vspec = eval_vspec or vspec
 
     @jax.jit
@@ -160,8 +166,14 @@ def make_eval_step(spec: DetectorSpec, vspec: VoxelizeSpec,
         preds, mutated = state.apply_fn(
             variables, vox["voxels"], vox["num_points"], vox["coordinates"],
             vox["voxel_valid"], train=False, mutable=["intermediates"])
-        det = predict(spec, preds, batch["anchors"],
-                      batch.get("anchors_mask"))
+        amask = batch.get("anchors_mask")
+        if amask is None and mask_info is not None:
+            from ..ops.anchors_mask import anchors_mask_from_coords
+            corners, grid_hw, thr = mask_info
+            amask = anchors_mask_from_coords(
+                vox["coordinates"], vox["voxel_valid"], corners, grid_hw,
+                thr)
+        det = predict(spec, preds, batch["anchors"], amask)
         det["voxel_overflow"] = vox["voxel_overflow"]
         det["stage_overflow"] = sum_stage_overflow(
             mutated.get("intermediates", {}))

@@ -207,6 +207,39 @@ class TestAnchorsMask:
         assert (ex["labels"][~mask] == -1).all()
         assert (ex["labels"] > 0).sum() > 0
 
+    def test_in_graph_mask_matches_host(self):
+        """The jitted SAT anchors mask (ops/anchors_mask.py, computed from
+        the device voxelizer's coords) is bit-identical to the host
+        `_compute_anchors_mask` whenever voxel_overflow == 0."""
+        from second_tpu.testing import tiny_pipeline_config
+        from second_tpu.models import build_voxelnet
+        from second_tpu.data import ExamplePrep, PrepConfig
+        from second_tpu.ops.anchors_mask import anchors_mask_from_coords
+        from second_tpu.train.state import VoxelizeSpec, device_voxelize
+        cfg = tiny_pipeline_config()
+        module, spec, info, assigner, coder = build_voxelnet(cfg.model)
+        vsize, rng_ = (0.25, 0.25, 4.0), (0, -8, -3, 16, 8, 1)
+        prep = ExamplePrep(assigner, info.feature_map_size,
+                           PrepConfig(max_points=2000, training=False,
+                                      anchor_area_threshold=1,
+                                      voxel_size=vsize, pc_range=rng_))
+        for seed in range(3):
+            pts = np.concatenate(
+                [np.random.default_rng(seed).uniform(
+                    [0, -8, -2], [16, 8, 0], (400, 3)),
+                 np.zeros((400, 1))], 1).astype(np.float32)
+            host = prep._compute_anchors_mask(pts)
+            corners, grid_hw, thr = prep.sat_mask_info()
+            padded, pmask = prep.pad_points(pts)
+            vspec = VoxelizeSpec(voxel_size=vsize, point_cloud_range=rng_,
+                                 max_points=8, max_voxels=4096)
+            vox = device_voxelize(vspec, padded[None], pmask[None])
+            assert int(vox["voxel_overflow"]) == 0
+            got = np.asarray(anchors_mask_from_coords(
+                vox["coordinates"], vox["voxel_valid"],
+                jnp.asarray(corners), grid_hw, thr))[0]
+            np.testing.assert_array_equal(got, host)
+
 
 class TestDataParallelEval:
     def test_dp_eval_metric_psum(self, setup):

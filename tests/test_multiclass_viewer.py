@@ -184,8 +184,13 @@ class TestInferenceContextAndViewer:
         from second_tpu.core.inference_ctx import InferenceContext
         from second_tpu.testing import TINY_PIPELINE
         cfg_path = tmp_path / "tiny.config"
-        cfg_path.write_text(TINY_PIPELINE)
+        # threshold > 0 activates the in-graph SAT anchors mask at serving
+        # (reference anchor_cache anchors_bv, core/inference.py:57-75)
+        cfg_path.write_text(TINY_PIPELINE.replace(
+            "eval_input_reader: {",
+            "eval_input_reader: {\n  anchor_area_threshold: 1"))
         ctx = InferenceContext(cfg_path).build(max_points=3000)
+        assert ctx.prep.sat_mask_info() is not None
         rng = np.random.default_rng(0)
         points = np.concatenate([
             rng.uniform([0, -8, -3], [16, 8, 1], (2000, 3)),
