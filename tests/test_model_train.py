@@ -318,8 +318,12 @@ class TestDataParallelEval:
         cfg_path.write_text(TINY_PIPELINE)
         trainer = Trainer(cfg_path, tmp_path / "run", synthetic=True,
                           dataset_size=16, max_points=3000, total_steps=2,
-                          patches=["eval_input_reader.batch_size=8"])
+                          patches=["eval_input_reader.batch_size=8",
+                                   "eval_input_reader.anchor_area_threshold=1"])
         assert hasattr(trainer, "_setup_dp_eval")
+        # threshold > 0 → the sharded eval computes the SAT anchors mask
+        # in-graph per shard (ops/anchors_mask.py)
+        assert trainer._eval_mask_info is not None
         state = trainer.train(2)
         detail = trainer.evaluate(state, max_frames=8)
         assert any("/3d" in k for k in detail)
