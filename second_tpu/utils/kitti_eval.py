@@ -183,6 +183,69 @@ def compute_statistics(overlaps, gt_data, dt_data, ignored_gt, ignored_det,
     return tp, fp, fn, similarity, thresholds
 
 
+def compute_statistics_fused(overlaps, gt_data, dt_data, ignored_gt,
+                             ignored_det, dc_bboxes, metric, min_overlap,
+                             thresholds, compute_aos=False):
+    """All-thresholds compute_statistics in one pass (compute_fp=True).
+
+    Vectorizes the reference's `fused_compute_statistics`
+    (`second/utils/eval.py:295-345`): instead of re-running the greedy
+    gt→det matching once per score threshold (41×), the threshold axis is
+    carried as a [T, D] assignment matrix and the sequential gt loop runs
+    once per frame. Matching order/tie-breaking is identical to
+    `compute_statistics` per threshold (golden-tested equal).
+
+    Returns (tp[T], fp[T], fn[T], similarity[T]) int64/float64 arrays.
+    """
+    thresholds = np.asarray(thresholds, np.float64)
+    num_t = thresholds.shape[0]
+    det_size = dt_data.shape[0]
+    dt_scores = dt_data[:, 5]
+    ign_thr = dt_scores[None, :] < thresholds[:, None]      # [T, D]
+    assigned = np.zeros((num_t, det_size), bool)
+    tp = np.zeros(num_t, np.int64)
+    fn = np.zeros(num_t, np.int64)
+    sim = np.zeros(num_t, np.float64)
+    det_ok = (ignored_det != -1)[None, :]                   # [1, D]
+    det_cls0 = (ignored_det == 0)[None, :]
+    det_cls1 = (ignored_det == 1)[None, :]
+    t_arange = np.arange(num_t)
+    for i in range(gt_data.shape[0]):
+        if ignored_gt[i] == -1:
+            continue
+        ov = overlaps[:, i]                                 # [D]
+        usable = det_ok & ~assigned & ~ign_thr & (ov > min_overlap)[None, :]
+        cand0 = usable & det_cls0
+        has0 = cand0.any(axis=1)
+        # max-overlap det, first index on ties (argmax semantics)
+        idx0 = np.argmax(np.where(cand0, ov[None, :], -np.inf), axis=1)
+        cand1 = usable & det_cls1
+        has1 = cand1.any(axis=1)
+        idx1 = np.argmax(cand1, axis=1)                     # first True
+        has = has0 | has1
+        det_idx = np.where(has0, idx0, idx1)
+        if ignored_gt[i] == 0:
+            fn += ~has
+        det_idx_safe = np.where(has, det_idx, 0)
+        matched_ignored = (ignored_gt[i] == 1) | \
+            (ignored_det[det_idx_safe] == 1)
+        is_tp = has & ~matched_ignored
+        tp += is_tp
+        if compute_aos:
+            delta = gt_data[i, 4] - dt_data[det_idx_safe, 4]
+            sim += np.where(is_tp, (1.0 + np.cos(delta)) / 2.0, 0.0)
+        assigned[t_arange[has], det_idx[has]] = True
+    fp_mask = ~assigned & det_cls0 & ~ign_thr               # [T, D]
+    fp = fp_mask.sum(axis=1).astype(np.int64)
+    if metric == 0 and len(dc_bboxes) > 0:
+        ov_dc = image_box_overlap(dt_data[:, :4], dc_bboxes, 0)
+        stuff_det = (ov_dc > min_overlap).any(axis=1)       # [D]
+        fp -= (fp_mask & stuff_det[None, :]).sum(axis=1)
+    similarity = np.where((tp > 0) | (fp > 0), sim, -1.0) if compute_aos \
+        else np.zeros(num_t, np.float64)
+    return tp, fp, fn, similarity
+
+
 def _frame_overlaps(gt_annos, dt_annos, metric):
     """Per-frame overlap matrices [num_det, num_gt]."""
     out = []
@@ -249,16 +312,13 @@ def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
                     get_thresholds(np.array(all_scores), total_valid_gt))
                 pr = np.zeros([len(thresholds), 4])
                 for i, (g, dtd, ig, idt, dc) in enumerate(prepped):
-                    for t, th in enumerate(thresholds):
-                        tp, fp, fn, sim, _ = compute_statistics(
-                            overlaps[i], g, dtd, ig, idt, dc, metric, min_ov,
-                            thresh=th, compute_fp=True,
-                            compute_aos=compute_aos)
-                        pr[t, 0] += tp
-                        pr[t, 1] += fp
-                        pr[t, 2] += fn
-                        if sim != -1:
-                            pr[t, 3] += sim
+                    tp, fp, fn, sim = compute_statistics_fused(
+                        overlaps[i], g, dtd, ig, idt, dc, metric, min_ov,
+                        thresholds, compute_aos=compute_aos)
+                    pr[:, 0] += tp
+                    pr[:, 1] += fp
+                    pr[:, 2] += fn
+                    pr[:, 3] += np.where(sim != -1, sim, 0.0)
                 for i in range(len(thresholds)):
                     recall[m, d, k, i] = pr[i, 0] / (pr[i, 0] + pr[i, 2])
                     precision[m, d, k, i] = pr[i, 0] / (pr[i, 0] + pr[i, 1])

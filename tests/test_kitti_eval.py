@@ -134,3 +134,80 @@ class TestThresholds:
     def test_map_formula(self):
         prec = np.ones(41)
         assert kitti_eval.get_mAP(prec) == 100.0
+
+
+class TestFusedStatistics:
+    """compute_statistics_fused must equal the per-threshold reference path
+    bit-for-bit on messy annos (ignored classes, DontCare, AOS)."""
+
+    def _messy_pair(self, seed):
+        rng = np.random.default_rng(seed)
+        gts, dts = [], []
+        name_pool = ["Car", "Van", "Pedestrian", "DontCare", "Cyclist"]
+        for _ in range(8):
+            n = int(rng.integers(1, 9))
+            names = [name_pool[int(rng.integers(0, len(name_pool)))]
+                     for _ in range(n)]
+            x = rng.uniform(-20, 20, n)
+            z = rng.uniform(5, 60, n)
+            y = rng.uniform(1.5, 2.0, n)
+            dims = np.stack([rng.uniform(3.5, 4.5, n),
+                             rng.uniform(1.4, 1.8, n),
+                             rng.uniform(1.5, 1.8, n)], 1)
+            rots = rng.uniform(-np.pi, np.pi, n)
+            u = rng.uniform(100, 1000, n)
+            v = rng.uniform(100, 250, n)
+            hgt = rng.uniform(15, 90, n)   # mix of below/above MIN_HEIGHT
+            bb = np.stack([u, v, u + rng.uniform(60, 120, n), v + hgt], 1)
+            occ = rng.integers(0, 3, n)
+            trunc = rng.uniform(0, 0.6, n)
+            gts.append(make_anno(names, bb, np.stack([x, y, z], 1), dims,
+                                 rots, alpha=rng.uniform(-np.pi, np.pi, n),
+                                 occluded=occ, truncated=trunc))
+            m = int(rng.integers(1, 9))
+            dnames = [name_pool[int(rng.integers(0, 3))] for _ in range(m)]
+            du = rng.uniform(100, 1000, m)
+            dv = rng.uniform(100, 250, m)
+            dbb = np.stack([du, dv, du + rng.uniform(60, 120, m),
+                            dv + rng.uniform(15, 90, m)], 1)
+            # half the dets overlap a gt bbox exactly (perturbed)
+            k = min(m, n)
+            dbb[:k] = bb[:k] + rng.uniform(-3, 3, (k, 4))
+            dts.append(make_anno(
+                dnames,
+                dbb,
+                np.stack([rng.uniform(-20, 20, m), rng.uniform(1.5, 2.0, m),
+                          rng.uniform(5, 60, m)], 1),
+                np.stack([rng.uniform(3.5, 4.5, m), rng.uniform(1.4, 1.8, m),
+                          rng.uniform(1.5, 1.8, m)], 1),
+                rng.uniform(-np.pi, np.pi, m),
+                scores=rng.uniform(0, 1, m),
+                alpha=rng.uniform(-np.pi, np.pi, m)))
+        return gts, dts
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    @pytest.mark.parametrize("metric", [0, 1, 2])
+    def test_fused_equals_per_threshold(self, seed, metric):
+        gts, dts = self._messy_pair(seed)
+        overlaps = kitti_eval._frame_overlaps(gts, dts, metric)
+        thresholds = np.linspace(0.05, 0.95, 41)
+        for i, (gt, dt) in enumerate(zip(gts, dts)):
+            for diff in (0, 1, 2):
+                nv, ig, idt, dc = kitti_eval.clean_data(gt, dt, 0, diff)
+                gt_data = np.concatenate([gt["bbox"], gt["alpha"][:, None]],
+                                         1)
+                dt_data = np.concatenate(
+                    [dt["bbox"], dt["alpha"][:, None], dt["score"][:, None]],
+                    1)
+                for min_ov in (0.5, 0.7):
+                    ftp, ffp, ffn, fsim = kitti_eval.compute_statistics_fused(
+                        overlaps[i], gt_data, dt_data, ig, idt, dc, metric,
+                        min_ov, thresholds, compute_aos=True)
+                    for t, th in enumerate(thresholds):
+                        tp, fp, fn, sim, _ = kitti_eval.compute_statistics(
+                            overlaps[i], gt_data, dt_data, ig, idt, dc,
+                            metric, min_ov, thresh=th, compute_fp=True,
+                            compute_aos=True)
+                        assert (tp, fp, fn) == (ftp[t], ffp[t], ffn[t]), (
+                            seed, metric, i, diff, min_ov, t)
+                        assert sim == pytest.approx(fsim[t], abs=1e-12)
