@@ -526,3 +526,59 @@ class TestMultiClassSynthetic:
         keys = list(detail)
         assert any("Car" in k for k in keys)
         assert any("Pedestrian" in k for k in keys)
+
+
+class TestDPEvalEqualsSingleDevicePerModelType:
+    """8-device DP eval must produce the SAME detections as single-device
+    for the temporal and two-stage model types (the in-graph anchors mask
+    rework touched this path — VERDICT r4 item 7). The generic DP wrapper
+    shards the batch over the mesh; per-example math is independent at eval
+    (batch-norm uses running stats), so detections must match bit-for-bit
+    up to compile-fusion noise."""
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("model_type,steps_name", [
+        ("temporal", "make_temporal_steps"),
+        ("two_stage", "make_two_stage_steps"),
+    ])
+    def test_dp_eval_matches_single_device(self, tmp_path, model_type,
+                                           steps_name):
+        from second_tpu.testing import TINY_PIPELINE
+        from second_tpu.train.run import Trainer
+        from second_tpu.train import steps_multistage
+
+        cfg_path = tmp_path / "tiny.config"
+        cfg_path.write_text(TINY_PIPELINE)
+        trainer = Trainer(cfg_path, tmp_path / f"run_{model_type}",
+                          synthetic=True, dataset_size=16, max_points=3000,
+                          total_steps=2, model_type=model_type,
+                          patches=["eval_input_reader.batch_size=8"])
+        # the trainer wired the DP generic eval step (8 CPU devices)
+        assert jax.device_count() == 8
+        rng = np.random.default_rng(0)
+        batch_size = 8
+        state = trainer._init_state(
+            next(trainer._batch_iter(batch_size, rng)))
+        scenes = [trainer.eval_ds[i] for i in range(batch_size)]
+        examples = [trainer.eval_prep(s, np.random.default_rng(1))
+                    for s in scenes]
+        batch = trainer.eval_prep.collate(examples)
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+                  if k != "image_idx"}
+
+        det_dp = trainer.eval_step(state, jbatch)         # DP (mesh-sharded)
+        _, base_eval = getattr(steps_multistage, steps_name)(
+            trainer.spec, trainer.vspec, trainer.eval_vspec)
+        det_1d = base_eval(state, jbatch)                 # single device
+
+        assert set(det_dp.keys()) >= {"boxes", "scores", "valid"}
+        np.testing.assert_array_equal(np.asarray(det_dp["valid"]),
+                                      np.asarray(det_1d["valid"]))
+        valid = np.asarray(det_1d["valid"]).astype(bool)
+        for key in ("boxes", "scores", "labels"):
+            if key not in det_1d:
+                continue
+            a = np.asarray(det_dp[key])
+            b = np.asarray(det_1d[key])
+            np.testing.assert_allclose(a[valid], b[valid], rtol=1e-5,
+                                       atol=1e-5, err_msg=key)
