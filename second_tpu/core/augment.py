@@ -31,9 +31,17 @@ def box_collision_test(boxes, qboxes):
 def noise_per_object(gt_boxes, points=None, valid_mask=None,
                      rotation_perturb=(-np.pi / 4, np.pi / 4),
                      center_noise_std=(1.0, 1.0, 0.5),
-                     num_try=100, rng: Optional[np.random.Generator] = None):
+                     num_try=100, rng: Optional[np.random.Generator] = None,
+                     group_ids=None):
     """Perturb each gt box (and its interior points) independently, rejecting
     poses that collide with any other box (current positions).
+
+    With `group_ids` [N], boxes sharing an id move RIGIDLY: they draw the
+    same loc/rot noise, each member's translation additionally carries the
+    rigid rotation about the group's BEV center, and a noise candidate is
+    accepted for the whole group only if no member collides (the reference's
+    group-noise variant: `preprocess.py:496-588` `group_transform_` /
+    `set_group_noise_same_` / `noise_per_box_group`).
 
     Mutates `gt_boxes` / `points` in place, like the reference.
     """
@@ -52,6 +60,37 @@ def noise_per_object(gt_boxes, points=None, valid_mask=None,
     rot_noises = rng.uniform(rotation_perturb[0], rotation_perturb[1],
                              (num_boxes, num_try))
 
+    groups = [[i] for i in range(num_boxes)]
+    if group_ids is not None:
+        group_ids = np.asarray(group_ids)
+        # same noise draw for every member of a group (first member's)
+        first = {}
+        order = []
+        for i, gid in enumerate(group_ids):
+            if gid not in first:
+                first[gid] = i
+                order.append([i])
+            else:
+                order[[g[0] for g in order].index(first[gid])].append(i)
+            loc_noises[i] = loc_noises[first[gid]]
+            rot_noises[i] = rot_noises[first[gid]]
+        groups = order
+        # rigid rotation about the group BEV center: member translation
+        # = r·(sin/cos(rot_center + θ) − sin/cos(rot_center))
+        for members in groups:
+            if len(members) < 2:
+                continue
+            center = gt_boxes[members, :3].mean(axis=0)
+            for i in members:
+                x = gt_boxes[i, 0] - center[0]
+                y = gt_boxes[i, 1] - center[1]
+                r = np.sqrt(x * x + y * y)
+                rot_center = np.arctan2(x, y)
+                loc_noises[i, :, 0] += r * (
+                    np.sin(rot_center + rot_noises[i]) - np.sin(rot_center))
+                loc_noises[i, :, 1] += r * (
+                    np.cos(rot_center + rot_noises[i]) - np.cos(rot_center))
+
     point_masks = None
     if points is not None:
         point_masks = box_np.points_in_rbbox(points, gt_boxes)
@@ -59,27 +98,32 @@ def noise_per_object(gt_boxes, points=None, valid_mask=None,
     bev = gt_boxes[:, [0, 1, 3, 4, 6]].copy()
     chosen_loc = np.zeros((num_boxes, 3))
     chosen_rot = np.zeros(num_boxes)
-    for i in range(num_boxes):
-        if not valid_mask[i]:
+    for members in groups:
+        members = [i for i in members if valid_mask[i]]
+        if not members:
             continue
-        # candidate BEV boxes for box i under each perturbation
-        cand = np.tile(bev[i], (num_try, 1))
-        cand[:, 0] += loc_noises[i, :, 0]
-        cand[:, 1] += loc_noises[i, :, 1]
-        cand[:, 4] += rot_noises[i]
-        others = np.delete(bev, i, axis=0)
+        # candidate BEV boxes for every member under each perturbation
+        cand = np.stack([np.tile(bev[i], (num_try, 1)) for i in members])
+        for mi, i in enumerate(members):
+            cand[mi, :, 0] += loc_noises[i, :, 0]
+            cand[mi, :, 1] += loc_noises[i, :, 1]
+            cand[mi, :, 4] += rot_noises[i]
+        others = np.delete(bev, members, axis=0)
         if len(others):
-            coll = box_collision_test(cand, others).any(axis=1)
+            coll = box_collision_test(
+                cand.reshape(-1, 5), others).any(axis=1)
+            coll = coll.reshape(len(members), num_try).any(axis=0)
         else:
             coll = np.zeros(num_try, bool)
         ok = np.flatnonzero(~coll)
         if len(ok) == 0:
             continue
         t = ok[0]
-        chosen_loc[i] = loc_noises[i, t]
-        chosen_rot[i] = rot_noises[i, t]
-        bev[i, :2] += chosen_loc[i, :2]
-        bev[i, 4] += chosen_rot[i]
+        for i in members:
+            chosen_loc[i] = loc_noises[i, t]
+            chosen_rot[i] = rot_noises[i, t]
+            bev[i, :2] += chosen_loc[i, :2]
+            bev[i, 4] += chosen_rot[i]
 
     # apply to points first (needs original box centers)
     if points is not None:

@@ -106,9 +106,16 @@ class KittiDataset:
         cfg = self._cfg
         rng = self._rng
         gt_boxes = gt_boxes.astype(np.float64).copy()
+        # group ids only matter under multi-class sample groups (the
+        # reference threads them the same way, prep_pointcloud
+        # `group_ids=...` only when sampler.use_group_sampling)
+        group_mode = (self._sampler is not None
+                      and getattr(self._sampler, "_group_mode", False))
+        group_ids = np.arange(len(gt_boxes)) if group_mode else None
         if self._sampler is not None:
             sampled = self._sampler.sample_all(gt_boxes, gt_names,
-                                               self._nfeat)
+                                               self._nfeat,
+                                               gt_group_ids=group_ids)
             if sampled is not None:
                 if cfg.remove_points_after_sample:
                     points = augment.remove_points_in_boxes(
@@ -117,6 +124,9 @@ class KittiDataset:
                 gt_boxes = np.concatenate(
                     [gt_boxes, sampled["gt_boxes"].astype(np.float64)])
                 gt_names = np.concatenate([gt_names, sampled["gt_names"]])
+                if group_mode:
+                    group_ids = np.concatenate(
+                        [group_ids, sampled["group_ids"]])
         if cfg is not None:
             if cfg.groundtruth_rotation_uniform_noise:
                 augment.noise_per_object(
@@ -126,7 +136,7 @@ class KittiDataset:
                     center_noise_std=tuple(
                         cfg.groundtruth_localization_noise_std or
                         (1.0, 1.0, 0.5)),
-                    rng=rng)
+                    rng=rng, group_ids=group_ids)
             gt_boxes, points = augment.random_flip(gt_boxes, points, rng=rng)
             if cfg.global_rotation_uniform_noise:
                 gt_boxes, points = augment.global_rotation(

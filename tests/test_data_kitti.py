@@ -360,3 +360,100 @@ class TestViewerDetectionEndpoints:
         img = state.get_image({"image_idx": 0})
         assert img["image_b64"].startswith("data:image/png;base64,")
         assert len(img["image_b64"]) > 100
+
+
+class TestGroupSampling:
+    """Multi-class sample groups: whole co-occurring groups are sampled,
+    accepted/rejected together, and get fresh group ids (reference
+    sample_ops.py sample_group :283-345)."""
+
+    def _group_db(self):
+        rng = np.random.default_rng(7)
+        ped, cyc = [], []
+        for gid in range(40):
+            x, y = rng.uniform(5, 60), rng.uniform(-30, 30)
+            yaw = rng.uniform(-np.pi, np.pi)
+            ped.append({
+                "name": "Pedestrian", "group_id": gid,
+                "box3d_lidar": np.array([x, y, -1.7, 0.6, 0.8, 1.7, yaw],
+                                        np.float32),
+                "num_points_in_gt": 20, "difficulty": 0,
+                "points": rng.uniform(-0.4, 0.4, (8, 4)).astype(np.float32),
+            })
+            cyc.append({
+                "name": "Cyclist", "group_id": gid,
+                "box3d_lidar": np.array([x + 1.2, y, -1.7, 0.6, 1.8, 1.7,
+                                         yaw], np.float32),
+                "num_points_in_gt": 20, "difficulty": 0,
+                "points": rng.uniform(-0.4, 0.4, (8, 4)).astype(np.float32),
+            })
+        return {"Pedestrian": ped, "Cyclist": cyc}
+
+    def test_group_mode_samples_whole_groups(self):
+        db = self._group_db()
+        sampler = DataBaseSampler(
+            db, [{"Pedestrian": 6, "Cyclist": 6}],
+            rng=np.random.default_rng(3))
+        assert sampler._group_mode
+        gt = np.array([[20.0, 0, -1.7, 1.6, 3.9, 1.56, 0.0]])
+        out = sampler.sample_all(gt, np.array(["Car"]),
+                                 gt_group_ids=np.array([4]))
+        assert out is not None and "group_ids" in out
+        gids = out["group_ids"]
+        assert gids.min() >= 5          # rewritten past the scene's max (4)
+        # every sampled group is complete: one Pedestrian + one Cyclist
+        for g in np.unique(gids):
+            names = set(out["gt_names"][gids == g])
+            assert names == {"Pedestrian", "Cyclist"}
+        # no collision against the scene gt (intra-group contact is genuine)
+        import second_tpu.core.augment as augment
+        sb = out["gt_boxes"][:, [0, 1, 3, 4, 6]]
+        assert not augment.box_collision_test(
+            sb, gt[:, [0, 1, 3, 4, 6]]).any()
+
+    def test_flat_dict_still_per_class(self):
+        db = self._group_db()
+        sampler = DataBaseSampler(db, {"Pedestrian": 4},
+                                  rng=np.random.default_rng(3))
+        assert not sampler._group_mode
+        out = sampler.sample_all(np.zeros((0, 7)), np.array([]))
+        assert out is not None and "group_ids" not in out
+        assert set(out["gt_names"]) == {"Pedestrian"}
+
+
+class TestGroupNoise:
+    def test_group_moves_rigidly(self):
+        """Members of a group share the rotation draw and keep their
+        relative geometry (distance between centers preserved)."""
+        import second_tpu.core.augment as augment
+        boxes = np.array([
+            [10.0, 0.0, -1.7, 0.6, 0.8, 1.7, 0.0],
+            [11.5, 0.0, -1.7, 0.6, 1.8, 1.7, 0.0],    # same group
+            [40.0, 20.0, -1.7, 1.6, 3.9, 1.56, 0.5],  # singleton far away
+        ])
+        before = boxes.copy()
+        augment.noise_per_object(
+            boxes, rotation_perturb=(0.4, 0.5),
+            center_noise_std=(0.0, 0.0, 0.0), num_try=50,
+            rng=np.random.default_rng(0), group_ids=np.array([0, 0, 1]))
+        # both members rotated by the SAME angle
+        d0 = boxes[0, 6] - before[0, 6]
+        d1 = boxes[1, 6] - before[1, 6]
+        assert 0.4 <= d0 <= 0.5 and d0 == pytest.approx(d1)
+        # rigid: inter-member distance preserved
+        dist_before = np.linalg.norm(before[0, :2] - before[1, :2])
+        dist_after = np.linalg.norm(boxes[0, :2] - boxes[1, :2])
+        assert dist_after == pytest.approx(dist_before, abs=1e-9)
+        # and the pair genuinely moved (rotation about the group center)
+        assert np.abs(boxes[:2, :2] - before[:2, :2]).max() > 0.05
+
+    def test_no_groups_matches_old_path(self):
+        import second_tpu.core.augment as augment
+        rng_a, rng_b = (np.random.default_rng(9) for _ in range(2))
+        a = np.array([[10.0, 0.0, -1.7, 1.6, 3.9, 1.56, 0.0],
+                      [30.0, 5.0, -1.7, 1.6, 3.9, 1.56, 1.0]])
+        b = a.copy()
+        augment.noise_per_object(a, num_try=20, rng=rng_a)
+        augment.noise_per_object(b, num_try=20, rng=rng_b,
+                                 group_ids=np.array([0, 1]))
+        np.testing.assert_allclose(a, b)
