@@ -103,7 +103,7 @@ def main():
     timed("aug concat (3 rolls)", probe_aug, feats)
 
     aug = jax.jit(probe_aug)(feats)
-    safe = rb[0]
+    safe = rb[1]
 
     def probe_gather(aug, safe):
         return sp.flat_rows(aug, safe)
@@ -127,7 +127,7 @@ def main():
             out.append(feat)
         return jnp.stack(out, 1)
 
-    timed("tap select+stack", probe_select, gathered, rb[1])
+    timed("tap select+stack", probe_select, gathered, rb[2])
 
 
 if __name__ == "__main__":

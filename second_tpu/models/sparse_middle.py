@@ -54,12 +54,14 @@ class MaskedBatchNorm(nn.Module):
         return ((y * scale + bias) * m).astype(out_dtype)
 
 
-def stage_rulebook(coords, keys, valid, grid_dhw):
+def stage_rulebook(coords, keys, valid, grid_dhw, idx_map=None):
     """Batched k=3 submanifold rulebook, built ONCE per stage and shared by
     every submanifold conv over that stage's active set (spconv `indice_key`
     reuse, reference `middle.py:464-505`). Batch-native build: the rank
-    lookups and tap-hit gathers run as flat global-index ops."""
-    return sp.subm_rulebook_b(coords, keys, valid, grid_dhw)
+    lookups and tap-hit gathers run as flat global-index ops. `idx_map`
+    (sp.stage_index_map_b) shares one dense index map across the stage."""
+    return sp.subm_rulebook_b(coords, keys, valid, grid_dhw,
+                              idx_map=idx_map)
 
 
 class SubMBlock(nn.Module):
@@ -177,7 +179,8 @@ class DownBlock(nn.Module):
     use_norm: bool = True
 
     @nn.compact
-    def __call__(self, feats, coords, keys, valid, train: bool = False):
+    def __call__(self, feats, coords, keys, valid, train: bool = False,
+                 idx_map=None):
         cin = feats.shape[-1]
         K = int(np.prod(self.kernel_size))
         w = self.param("kernel", nn.initializers.variance_scaling(
@@ -188,7 +191,7 @@ class DownBlock(nn.Module):
         in_dtype = feats.dtype
         out, oc, ok, ov, out_grid, nu = sp.sparse_conv3d_b(
             feats, coords, keys, valid, self.grid_dhw, w, self.kernel_size,
-            self.stride, self.padding, self.out_cap, bias)
+            self.stride, self.padding, self.out_cap, bias, idx_map=idx_map)
         # overflow telemetry: active sites truncated by the stage capacity
         self.sow("intermediates", "stage_overflow",
                  jnp.maximum(nu - self.out_cap, 0).sum())
@@ -239,40 +242,45 @@ class SparseMiddleFHD(nn.Module):
         sort = jax.vmap(lambda c, f, v: sp.sort_active(c, f, v, grid0))
         coords, feats, valid, keys = sort(coords, voxel_features, valid)
 
-        rb = stage_rulebook(coords, keys, valid, grid0)
+        imap = sp.stage_index_map_b(keys, grid0)
+        rb = stage_rulebook(coords, keys, valid, grid0, idx_map=imap)
         feats = SubMBlock(c16, grid0, self.use_norm)(
             feats, coords, keys, valid, train, rulebook=rb)
         feats = SubMBlock(c16, grid0, self.use_norm)(
             feats, coords, keys, valid, train, rulebook=rb)
         feats, coords, keys, valid, grid1 = DownBlock(
             c32, grid0, out_cap=caps[0], use_norm=self.use_norm)(
-                feats, coords, keys, valid, train)
+                feats, coords, keys, valid, train, idx_map=imap)
 
-        rb = stage_rulebook(coords, keys, valid, grid1)
+        imap = sp.stage_index_map_b(keys, grid1)
+        rb = stage_rulebook(coords, keys, valid, grid1, idx_map=imap)
         feats = SubMBlock(c32, grid1, self.use_norm)(
             feats, coords, keys, valid, train, rulebook=rb)
         feats = SubMBlock(c32, grid1, self.use_norm)(
             feats, coords, keys, valid, train, rulebook=rb)
         feats, coords, keys, valid, grid2 = DownBlock(
             c64, grid1, out_cap=caps[1], use_norm=self.use_norm)(
-                feats, coords, keys, valid, train)
+                feats, coords, keys, valid, train, idx_map=imap)
 
-        rb = stage_rulebook(coords, keys, valid, grid2)
+        imap = sp.stage_index_map_b(keys, grid2)
+        rb = stage_rulebook(coords, keys, valid, grid2, idx_map=imap)
         for _ in range(3):
             feats = SubMBlock(c64, grid2, self.use_norm)(
                 feats, coords, keys, valid, train, rulebook=rb)
         feats, coords, keys, valid, grid3 = DownBlock(
             c64b, grid2, padding=(0, 1, 1), out_cap=caps[2],
-            use_norm=self.use_norm)(feats, coords, keys, valid, train)
+            use_norm=self.use_norm)(feats, coords, keys, valid, train,
+                                    idx_map=imap)
 
-        rb = stage_rulebook(coords, keys, valid, grid3)
+        imap = sp.stage_index_map_b(keys, grid3)
+        rb = stage_rulebook(coords, keys, valid, grid3, idx_map=imap)
         for _ in range(3):
             feats = SubMBlock(c64b, grid3, self.use_norm)(
                 feats, coords, keys, valid, train, rulebook=rb)
         feats, coords, keys, valid, grid4 = DownBlock(
             c64c, grid3, kernel_size=(3, 1, 1), stride=(2, 1, 1),
             padding=(0, 0, 0), out_cap=caps[3], use_norm=self.use_norm)(
-                feats, coords, keys, valid, train)
+                feats, coords, keys, valid, train, idx_map=imap)
 
         dense = jax.vmap(
             lambda f, c, v: sp.densify(f, c, v, grid4))(feats, coords, valid)

@@ -292,11 +292,104 @@ def _select_bucket_rows_b(keys_sorted, bucket, nb, block):
 # cumulative-count map (one scatter + cumsum per stage, then narrow
 # gathers) instead of the one-hot bucket matmuls. Candidate largest user:
 # the fhd stage-1 grid (21*800*704 ≈ 11.8M cells); stage 0 (92M cells)
-# always stays on the bucket path. Default 0 (disabled): XLA-TPU cumsum
-# throughput over ~10M-cell maps is unmeasured — flip via
-# SECOND_TPU_DENSE_RANK_CELLS once benched faster than the bucket matmuls.
+# always stays on the bucket path. Default 0 (disabled): MEASURED SLOWER
+# on-chip (r5 A/B: 11.3 fps @16M, 6.7 @100M vs 14.3 base — XLA cumsum over
+# ~10M-cell maps costs more than the bucket matmuls it replaces).
 DENSE_RANK_MAX_CELLS = int(os.environ.get("SECOND_TPU_DENSE_RANK_CELLS",
                                           "0"))
+
+# Grids at or below this cell count build rulebooks through a dense INDEX
+# map: one memset + scatter of row indices per stage (NO cumsum, NO rank
+# matmuls), then one narrow int gather per kernel tap gives exact neighbor
+# rows. Replaces both the one-hot rank matmuls and the x-window sel-mask
+# machinery wherever it applies.
+IDX_MAP_MAX_CELLS = int(os.environ.get("SECOND_TPU_IDX_MAP_CELLS", "0"))
+
+
+def dense_index_map_b(keys_sorted, valid, n_cells: int):
+    """[B, n_cells] int32 map: row index of each active cell, -1 elsewhere.
+
+    The TPU-native analog of spconv's GPU hash table (reference
+    `middle.py:462-509` builds rulebooks through spconv's indice hash): on
+    TPU a dense scatter + narrow gathers beat hashing — the scatter is one
+    pass over N rows and the per-tap lookups become plain address
+    arithmetic."""
+    B, N = keys_sorted.shape
+    off = (jnp.arange(B, dtype=jnp.int32) * n_cells)[:, None]
+    tgt = jnp.where(valid, keys_sorted + off, B * n_cells)
+    rows = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (B, N))
+    flat = jnp.full((B * n_cells,), -1, jnp.int32)
+    flat = flat.at[tgt.reshape(-1)].set(rows.reshape(-1), mode="drop")
+    return flat.reshape(B, n_cells)
+
+
+def taps_rulebook_map_b(idx_map, base_coords, base_valid, grid_dhw,
+                        kernel_size):
+    """Exact per-tap neighbor rows via the dense index map.
+
+    base_coords [B, Q, 3] zyx of each query's kernel origin (tap (0,0,0)
+    position). Returns (tap_idx [B, K, Q] int32 clamped, found [B, K, Q]),
+    tap order = itertools.product over kernel_size."""
+    grid = np.array(grid_dhw, np.int32)
+    qks, inbs = [], []
+    for off in _offsets(tuple(int(k) for k in kernel_size)):
+        ic = base_coords + off
+        inb = ((ic >= 0) & (ic < grid)).all(-1) & base_valid
+        qks.append(jnp.where(inb, linearize(ic, grid_dhw), 0))
+        inbs.append(inb)
+    qk = jnp.stack(qks, axis=1)                             # [B, K, Q]
+    inb = jnp.stack(inbs, axis=1)
+    idx = flat_rows(idx_map[..., None], qk)[..., 0]
+    found = inb & (idx >= 0)
+    return jnp.maximum(idx, 0), found
+
+
+def gather_taps_map_b(features, tap_idx, found):
+    """Apply half of the map rulebook: one flat narrow gather per tap
+    stack. features [B, N, C] → [B, K, Q, C], zeros where a tap missed."""
+    g = flat_rows(features, tap_idx)                        # [B, K, Q, C]
+    return jnp.where(found[..., None], g, 0)
+
+
+def stage_index_map_b(keys_sorted, grid_dhw):
+    """Dense index map for a stage's active set, or None when the grid
+    exceeds `SECOND_TPU_IDX_MAP_CELLS`. Build once per stage and pass to
+    both the subm rulebook and the strided DownBlock."""
+    sen = sentinel(grid_dhw)
+    if not (0 < sen <= IDX_MAP_MAX_CELLS):
+        return None
+    return dense_index_map_b(keys_sorted, keys_sorted < sen, sen)
+
+
+def build_rulebook_b(keys_sorted, base_coords, base_valid, grid_dhw,
+                     kernel_size, idx_map=None):
+    """Route a rulebook build: dense index map for small-enough grids
+    (`SECOND_TPU_IDX_MAP_CELLS`), else the bucketed rank-window scheme.
+    Returns a tagged tuple ("tap", idx, found) or ("win", safe, sel);
+    `subm_conv3d_b` / `sparse_conv3d_b` apply either. Pass `idx_map`
+    (from `dense_index_map_b`) to share one map across the stage's subm
+    and strided builds."""
+    sen = sentinel(grid_dhw)
+    if idx_map is not None or 0 < sen <= IDX_MAP_MAX_CELLS:
+        if idx_map is None:
+            idx_map = dense_index_map_b(keys_sorted,
+                                        keys_sorted < sen, sen)
+        return ("tap",) + taps_rulebook_map_b(idx_map, base_coords,
+                                              base_valid, grid_dhw,
+                                              kernel_size)
+    return ("win",) + gather_rulebook_b(keys_sorted, base_coords, base_valid,
+                                        grid_dhw, kernel_size)
+
+
+def apply_rulebook_b(features, rulebook):
+    """[B, K, Q, C] tap stack from either rulebook format (2-tuples are
+    legacy window rulebooks)."""
+    if len(rulebook) == 2:
+        return gather_taps_rb_b(features, *rulebook)
+    tag = rulebook[0]
+    if tag == "tap":
+        return gather_taps_map_b(features, rulebook[1], rulebook[2])
+    return gather_taps_rb_b(features, rulebook[1], rulebook[2])
 
 
 def _dense_rank_b(keys_sorted, query_keys, n_cells: int):
@@ -402,10 +495,12 @@ def gather_taps_rb_b(features, safe, sel):
 
 
 def subm_rulebook_b(coords, keys_sorted, valid, grid_dhw,
-                    kernel_size=(3, 3, 3)):
-    """Batched `subm_rulebook` (build once per stage, reuse per conv)."""
+                    kernel_size=(3, 3, 3), idx_map=None):
+    """Batched `subm_rulebook` (build once per stage, reuse per conv).
+    Returns a tagged rulebook (see `build_rulebook_b`)."""
     base = coords - np.array(kernel_size, np.int32) // 2
-    return gather_rulebook_b(keys_sorted, base, valid, grid_dhw, kernel_size)
+    return build_rulebook_b(keys_sorted, base, valid, grid_dhw, kernel_size,
+                            idx_map=idx_map)
 
 
 def subm_conv3d_b(features, coords, keys_sorted, valid, grid_dhw, weights,
@@ -422,12 +517,13 @@ def subm_conv3d_b(features, coords, keys_sorted, valid, grid_dhw, weights,
     if rulebook is None:
         rulebook = subm_rulebook_b(coords, keys_sorted, valid, grid_dhw,
                                    kernel_size)
-    if os.environ.get("SECOND_TPU_PALLAS_SUBM") == "1":
+    tag, ra, rb = (("win",) + tuple(rulebook)) if len(rulebook) == 2 \
+        else tuple(rulebook)
+    if os.environ.get("SECOND_TPU_PALLAS_SUBM") == "1" and tag == "win":
         from .pallas.subm import subm_conv3d_fused_pallas
-        out = subm_conv3d_fused_pallas(features, rulebook[0], rulebook[1],
-                                       weights)
+        out = subm_conv3d_fused_pallas(features, ra, rb, weights)
     else:
-        stacked = gather_taps_rb_b(features, *rulebook)     # [B, K, N, Cin]
+        stacked = apply_rulebook_b(features, (tag, ra, rb))  # [B, K, N, Cin]
         out = jnp.einsum("bknc,kcd->bnd", stacked,
                          weights.astype(features.dtype),
                          preferred_element_type=jnp.float32)
@@ -493,9 +589,12 @@ def sparse_max_pool3d_b(features, coords, keys_sorted, valid, grid_dhw,
 
 
 def sparse_conv3d_b(features, coords, keys_sorted, valid, grid_dhw, weights,
-                    kernel_size, stride, padding, out_cap, bias=None):
+                    kernel_size, stride, padding, out_cap, bias=None,
+                    idx_map=None):
     """Batched strided sparse conv: candidate generation stays per-example
     (sort-bound, vmap costs nothing there); the tap gather is flat-batched.
+    `idx_map` (from `dense_index_map_b` over the INPUT grid) shares the
+    stage's dense index map with the subm rulebook build.
 
     Returns (out [B, M, Cout], out_coords [B, M, 3], out_keys [B, M],
     out_valid [B, M], out_grid, n_unique [B])."""
@@ -510,16 +609,18 @@ def sparse_conv3d_b(features, coords, keys_sorted, valid, grid_dhw, weights,
                       // np.array(stride, np.int32) + 1).tolist())
     base = out_coords * np.array(stride, np.int32) - np.array(padding,
                                                               np.int32)
-    rulebook = gather_rulebook_b(keys_sorted, base, out_valid, grid_dhw,
-                                 tuple(int(k) for k in kernel_size))
-    if os.environ.get("SECOND_TPU_PALLAS_SUBM") == "1":
+    rulebook = build_rulebook_b(keys_sorted, base, out_valid, grid_dhw,
+                                tuple(int(k) for k in kernel_size),
+                                idx_map=idx_map)
+    if os.environ.get("SECOND_TPU_PALLAS_SUBM") == "1" and \
+            rulebook[0] == "win":
         # the fused apply is rulebook-generic: strided convs share the
         # (safe, sel) semantics, only the query set differs
         from .pallas.subm import subm_conv3d_fused_pallas
-        out = subm_conv3d_fused_pallas(features, rulebook[0], rulebook[1],
+        out = subm_conv3d_fused_pallas(features, rulebook[1], rulebook[2],
                                        weights)
     else:
-        stacked = gather_taps_rb_b(features, *rulebook)     # [B, K, M, Cin]
+        stacked = apply_rulebook_b(features, rulebook)      # [B, K, M, Cin]
         out = jnp.einsum("bknc,kcd->bnd", stacked,
                          weights.astype(features.dtype),
                          preferred_element_type=jnp.float32)

@@ -365,6 +365,70 @@ class TestBatchedVariants:
         for a, b in zip(got, ref):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_subm_conv_b_idx_map_flag_equivalent(self, monkeypatch):
+        """With SECOND_TPU_IDX_MAP_CELLS covering the grid, the whole
+        batched subm conv (dense-index-map rulebook through einsum) matches
+        the bucket-matmul window default bit-for-bit."""
+        rng = np.random.default_rng(19)
+        grid = (5, 10, 12)
+        coords, feats, valid, keys = self._batch(rng, grid, 64, 5, B=2)
+        w = jnp.asarray(rng.normal(0, 0.3, (27, 5, 6)).astype(np.float32))
+        ref = sp.subm_conv3d_b(feats, coords, keys, valid, grid, w)
+        monkeypatch.setattr(sp, "IDX_MAP_MAX_CELLS", int(np.prod(grid)))
+        got = sp.subm_conv3d_b(feats, coords, keys, valid, grid, w)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        # shared per-stage map gives the same rulebook as the per-build map
+        imap = sp.stage_index_map_b(keys, grid)
+        assert imap is not None
+        rb = sp.subm_rulebook_b(coords, keys, valid, grid, idx_map=imap)
+        assert rb[0] == "tap"
+        got2 = sp.subm_conv3d_b(feats, coords, keys, valid, grid, w,
+                                rulebook=rb)
+        np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref))
+
+    def test_sparse_conv3d_b_idx_map_flag_equivalent(self, monkeypatch):
+        """Strided conv under the dense-index-map flag (with and without a
+        shared stage map) matches the default window path."""
+        rng = np.random.default_rng(20)
+        grid = (6, 8, 10)
+        coords, feats, valid, keys = self._batch(rng, grid, 48, 4, B=2)
+        w = jnp.asarray(rng.normal(0, 0.3, (27, 4, 4)).astype(np.float32))
+        args = (feats, coords, keys, valid, grid, w,
+                (3, 3, 3), (2, 2, 2), (1, 1, 1), 48)
+        ref = sp.sparse_conv3d_b(*args)
+        monkeypatch.setattr(sp, "IDX_MAP_MAX_CELLS", int(np.prod(grid)))
+        got = sp.sparse_conv3d_b(*args)
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        imap = sp.stage_index_map_b(keys, grid)
+        got2 = sp.sparse_conv3d_b(*args, idx_map=imap)
+        for a, b in zip(got2, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_fhd_module_idx_map_flag_equivalent(self, monkeypatch):
+        """The full SparseMiddleFHD forward under the index-map flag equals
+        the default path (exercises the shared per-stage map threading)."""
+        import jax as _jax
+        from second_tpu.models.sparse_middle import SparseMiddleFHD
+        rng = np.random.default_rng(21)
+        grid = (41, 16, 16)     # real FHD depth (4 z-downsamples), tiny HW
+        B, N = 2, 96
+        coords = np.stack([rng.integers(0, g, (B, N)) for g in grid],
+                          -1).astype(np.int32)
+        feats = rng.normal(0, 1, (B, N, 4)).astype(np.float32)
+        valid = np.arange(N)[None, :] < np.array([[70], [96]])
+        m = SparseMiddleFHD(output_shape=grid, num_input_features=4)
+        variables = m.init(_jax.random.PRNGKey(0), jnp.asarray(feats),
+                           jnp.asarray(coords), jnp.asarray(valid),
+                           train=False)
+        ref = m.apply(variables, jnp.asarray(feats), jnp.asarray(coords),
+                      jnp.asarray(valid), train=False)
+        monkeypatch.setattr(sp, "IDX_MAP_MAX_CELLS", int(np.prod(grid)))
+        got = m.apply(variables, jnp.asarray(feats), jnp.asarray(coords),
+                      jnp.asarray(valid), train=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
     def test_sparse_max_pool3d_b_matches_vmapped(self):
         rng = np.random.default_rng(11)
         grid = (6, 8, 10)
@@ -409,7 +473,7 @@ class TestPallasFusedSubM:
         ref = sp.subm_conv3d_b(feats, coords, keys, valid, grid, w,
                                rulebook=rb)
         # odd tile size exercises the Mp padding path
-        got = subm_conv3d_fused_pallas(feats, rb[0], rb[1], w,
+        got = subm_conv3d_fused_pallas(feats, rb[1], rb[2], w,
                                        rows_per_tile=24, inflight=8,
                                        interpret=True)
         got = jnp.where(valid[..., None], got, 0.0)
