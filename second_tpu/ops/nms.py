@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from .box_ops import rbbox2d_to_near_bbox
-from .rotated_iou import rotated_iou_matrix, standup_iou_matrix
+from .rotated_iou import standup_iou_matrix
 
 
 def _greedy_suppress(iou, valid, iou_threshold):
@@ -114,6 +114,49 @@ def _sparse_rotated_over(cand, top_valid, iou_threshold, max_pairs):
     return over.reshape(K, K)
 
 
+def _sparse_rotated_iou_matrix(cand, top_valid, max_pairs, min_bound=0.0):
+    """Exact symmetric [K, K] rotated-IoU matrix, computed sparsely: polygon
+    clipping runs only on the ≤ max_pairs (i < j) pairs whose standup
+    envelope bound exceeds `min_bound` (bound ≥ iou, so skipped pairs have
+    iou ≤ min_bound and are written as 0). The soft-NMS analog of
+    `_sparse_rotated_over` — soft decay needs the VALUE of every
+    overlapping pair, in both triangles (picks are by rescored order)."""
+    from .rotated_iou import quad_intersection_area, rbbox_to_corners
+    K = cand.shape[0]
+    corners = rbbox_to_corners(cand)                      # [K, 4, 2]
+    standup = jnp.concatenate([corners.min(-2), corners.max(-2)], -1)
+    lt = jnp.maximum(standup[:, None, :2], standup[None, :, :2])
+    rb = jnp.minimum(standup[:, None, 2:], standup[None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0.0)
+    inter_st = wh[..., 0] * wh[..., 1]
+    areas = cand[:, 2] * cand[:, 3]
+    asum = areas[:, None] + areas[None, :]
+    bound = inter_st / jnp.maximum(asum - inter_st, 1e-12)
+
+    upper = jnp.triu(jnp.ones((K, K), bool), k=1)
+    maybe = (bound > min_bound) & upper & \
+        top_valid[:, None] & top_valid[None, :]
+
+    flat = maybe.reshape(-1)
+    pos = jnp.cumsum(flat) - 1
+    lin = jnp.arange(K * K, dtype=jnp.int32)
+    scatter_to = jnp.where(flat & (pos < max_pairs), pos, max_pairs)
+    plist = jnp.zeros((max_pairs,), jnp.int32).at[scatter_to].set(
+        lin, mode="drop")
+    pair_n = jnp.minimum(flat.sum(), max_pairs)
+    pair_ok = jnp.arange(max_pairs) < pair_n
+    pi = plist // K
+    pj = plist % K
+
+    inter = quad_intersection_area(corners[pi], corners[pj])   # [P]
+    iou = jnp.where(pair_ok,
+                    inter / jnp.maximum(areas[pi] + areas[pj] - inter,
+                                        1e-12), 0.0)
+    out = jnp.zeros((K * K,), iou.dtype).at[plist].max(iou, mode="drop")
+    out = out.reshape(K, K)
+    return jnp.maximum(out, out.T)                        # symmetric
+
+
 def nms(boxes, scores, valid, *, pre_max_size, post_max_size, iou_threshold,
         rotated=True, max_pairs=8192):
     """Single-class NMS.
@@ -159,10 +202,14 @@ def nearest_nms(boxes_rbv, scores, valid, *, pre_max_size, post_max_size,
 
 def soft_nms(boxes, scores, valid, *, pre_max_size, post_max_size,
              sigma=0.5, iou_threshold=0.3, score_threshold=1e-3,
-             method="gaussian", rotated=True):
+             method="gaussian", rotated=True, max_pairs=8192):
     """In-graph soft-NMS (Bodla et al.; reference `nms_cpu.py:66-156`
     soft_nms_jit): instead of removing overlapping boxes, their scores decay
     by exp(-iou²/σ) (gaussian) or (1-iou) above the threshold (linear).
+
+    The rotated IoU matrix is built sparsely (standup-bounded pair list,
+    like hard `nms`): exact polygon clipping runs only on pairs that can
+    overlap at all — skipped pairs have iou 0 and decay 1.
 
     boxes: [N, 5] rotated BEV (or [N, 4] xyxy when rotated=False);
     scores/valid: [N]. Returns (indices [post_max_size], rescored scores,
@@ -173,8 +220,10 @@ def soft_nms(boxes, scores, valid, *, pre_max_size, post_max_size,
     masked = jnp.where(valid, scores, neg_inf)
     k = min(pre_max_size, boxes.shape[0])
     top_scores, top_idx = jax.lax.top_k(masked, k)
+    top_valid = jnp.isfinite(top_scores)
     cand = boxes[top_idx]
-    iou = rotated_iou_matrix(cand, cand) if rotated \
+    iou = _sparse_rotated_iou_matrix(cand, top_valid,
+                                     min(max_pairs, k * k)) if rotated \
         else standup_iou_matrix(cand, cand)
     m = min(post_max_size, k)
 

@@ -202,6 +202,30 @@ class TestDeviceSoftNMS:
         np.testing.assert_array_equal(got, keep_np)
         np.testing.assert_allclose(rescored[keep], scores_np, rtol=1e-4)
 
+    def test_rotated_sparse_matches_dense_matrix(self):
+        """The standup-bounded sparse IoU matrix behind rotated soft-NMS
+        equals the dense rotated_iou_matrix on every valid pair."""
+        import jax.numpy as jnp
+        from second_tpu.ops.nms import _sparse_rotated_iou_matrix
+        from second_tpu.ops.rotated_iou import rotated_iou_matrix
+
+        rng = np.random.default_rng(3)
+        n = 48
+        boxes = np.concatenate(
+            [rng.uniform(0, 15, (n, 2)), rng.uniform(2, 6, (n, 2)),
+             rng.uniform(-np.pi, np.pi, (n, 1))], 1).astype(np.float32)
+        valid = np.arange(n) < 40
+        cand = jnp.asarray(boxes)
+        dense = np.asarray(rotated_iou_matrix(cand, cand))
+        sparse = np.asarray(_sparse_rotated_iou_matrix(
+            cand, jnp.asarray(valid), max_pairs=n * n))
+        vm = valid[:, None] & valid[None, :]
+        off_diag = ~np.eye(n, dtype=bool)
+        np.testing.assert_allclose(sparse[vm & off_diag],
+                                   dense[vm & off_diag],
+                                   rtol=1e-5, atol=1e-6)
+        assert (sparse[~vm] == 0).all()
+
     def test_rotated_path_runs(self):
         import jax.numpy as jnp
         from second_tpu.ops.nms import soft_nms
