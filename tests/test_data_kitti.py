@@ -457,3 +457,34 @@ class TestGroupNoise:
         augment.noise_per_object(b, num_try=20, rng=rng_b,
                                  group_ids=np.array([0, 1]))
         np.testing.assert_allclose(a, b)
+
+
+class TestDesktopViewer:
+    def test_headless_save_renders_frame(self, fake_kitti, tmp_path):
+        """The matplotlib desktop viewer (the Qt kittiviewer equivalent)
+        renders BEV + camera + 3D panes with gt and detection overlays to a
+        PNG in headless mode."""
+        from second_tpu.data import kitti_dataset as kd
+        from second_tpu.viewer.desktop import DesktopViewer
+        kd.create_kitti_info_file(fake_kitti)
+        v = DesktopViewer(fake_kitti / "kitti_infos_train.pkl", fake_kitti,
+                          det_path=fake_kitti / "training" / "label_2",
+                          score_threshold=0.0)
+        f = v.frame()
+        assert len(f["gt_boxes"]) >= 2
+        assert len(f["dt_boxes"]) >= 2       # label dir reused as fake dets
+        out = v.save(tmp_path / "frame.png", image_idx=1)
+        assert (tmp_path / "frame.png").stat().st_size > 20000
+        # frame stepping + threshold keys mutate state
+        class E:
+            key = "n"
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig = plt.figure()
+        v.on_key(E(), fig)
+        assert v.pos == 0                    # wrapped around (2 frames)
+        E.key = "+"
+        v.on_key(E(), fig)
+        assert v.score_threshold > 0.0
+        plt.close(fig)
