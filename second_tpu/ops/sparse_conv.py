@@ -19,7 +19,9 @@ middle extractors, `second/pytorch/models/middle.py`). Design:
     deduplicated by sort (same machinery as the voxelizer), capped at a
     static output capacity, then gathered like the submanifold case.
 
-Overflow beyond a stage capacity drops the largest keys (deterministic).
+Overflow beyond a stage capacity keeps a rank-stratified subset of the
+active sites (deterministic, spatially uniform across the sorted key
+range — NOT a largest-key cut, which would amputate the top z-slices).
 """
 
 from __future__ import annotations
@@ -708,10 +710,24 @@ def downsample_coords(coords, valid, grid_dhw, kernel_size, stride, padding,
         [keys[:1] < out_sen,
          (keys[1:] != keys[:-1]) & (keys[1:] < out_sen)])
     pos = jnp.cumsum(is_first) - 1
-    scatter_to = jnp.where(is_first & (pos < out_cap), pos, out_cap)
-    out_keys = jnp.full((out_cap,), out_sen, keys.dtype).at[scatter_to].set(
-        keys, mode="drop")
-    out_valid = out_keys < out_sen
+    n_uni = is_first.sum().astype(jnp.int32)
+    # Capacity overflow keeps a RANK-STRATIFIED subset (one site per
+    # equal-width stratum of the sorted key range) instead of the smallest
+    # out_cap keys: linear keys are z-major, so a smallest-keys cut would
+    # amputate the scene's top z-slices — the same bias the voxelizer's
+    # hash-shuffle truncation fix removed. slot = pos*cap//n_unique is
+    # non-decreasing, covers every slot when n_unique >= cap, and the
+    # max-scatter keeps the largest key per stratum (deterministic), so the
+    # output stays sorted. No overflow → slot == pos (bit-identical).
+    ncl = jnp.maximum(n_uni, 1)
+    slot = jnp.where(n_uni > out_cap,
+                     (pos * out_cap) // ncl, pos).astype(jnp.int32)
+    scatter_to = jnp.where(is_first & (slot < out_cap), slot, out_cap)
+    kept = jnp.zeros((out_cap,), keys.dtype).at[scatter_to].max(
+        jnp.where(is_first, keys, 0), mode="drop")
+    n_slots = jnp.minimum(n_uni, out_cap)
+    out_valid = jnp.arange(out_cap) < n_slots
+    out_keys = jnp.where(out_valid, kept, out_sen)
     D, H, W = out_grid
     oz = out_keys // (H * W)
     oy = (out_keys // W) % H

@@ -121,6 +121,31 @@ class TestSparseConvDown:
             out_cap=8)
         assert int(np.asarray(ov).sum()) == 8  # capped deterministically
 
+    def test_overflow_keeps_rank_stratified_subset(self):
+        """Capacity overflow must sample across the whole key range (one
+        site per rank stratum), not amputate the largest keys — linear keys
+        are z-major, so a smallest-keys cut would drop the scene's top
+        z-slices (the bias the voxelizer's hash-shuffle fix removed)."""
+        rng = np.random.default_rng(5)
+        grid = (8, 8, 8)
+        c, f, v, k = make_active_set(rng, grid, 200, 256, 2)
+        cap = 16
+        oc, ov, ok, og, nu = sp.downsample_coords(
+            c, v, grid, (3, 3, 3), (2, 2, 2), (1, 1, 1), cap)
+        ok_np = np.asarray(ok)[np.asarray(ov)]
+        assert int(nu) > cap and len(ok_np) == cap
+        # sorted output
+        assert (np.diff(ok_np) > 0).all()
+        # full-capacity reference set (the true unique output sites)
+        oc2, ov2, ok2, og2, nu2 = sp.downsample_coords(
+            c, v, grid, (3, 3, 3), (2, 2, 2), (1, 1, 1), 1024)
+        all_keys = np.asarray(ok2)[np.asarray(ov2)]
+        # kept subset covers the top stratum: its max is in the last
+        # n_unique/cap ranks (a smallest-keys cut would keep none there)
+        stratum = int(nu) // cap + 1
+        assert ok_np[-1] >= all_keys[-stratum]
+        assert set(ok_np) <= set(all_keys)
+
 
 @pytest.mark.slow
 class TestSparseMiddleModule:
