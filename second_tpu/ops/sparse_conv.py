@@ -557,20 +557,14 @@ def lookup_many_b(keys_sorted, query_keys, query_valid, block: int = 128):
 
 def sparse_max_pool3d_b(features, coords, keys_sorted, valid, grid_dhw,
                         kernel_size, out_cap, stride=None, padding=(0, 0, 0)):
-    """Batched `sparse_max_pool3d`: per-example output-site generation
-    (sort-bound), batched lookup + ONE flat tap gather."""
+    """Batched `sparse_max_pool3d`: output-site generation via
+    `_gen_output_sites_b`, batched lookup + ONE flat tap gather."""
     if stride is None:
         stride = kernel_size
-
-    def gen(c, v):
-        oc, ov, ok, og, nu = downsample_coords(c, v, grid_dhw, kernel_size,
-                                               stride, padding, out_cap)
-        return oc, ov, ok, nu
-    out_coords, out_valid, out_keys, n_unique = jax.vmap(gen)(coords, valid)
+    out_coords, out_valid, out_keys, n_unique, out_grid = \
+        _gen_output_sites_b(coords, valid, grid_dhw, kernel_size, stride,
+                            padding, out_cap)
     grid = np.array(grid_dhw, np.int32)
-    out_grid = tuple(((grid + 2 * np.array(padding, np.int32)
-                       - np.array(kernel_size, np.int32))
-                      // np.array(stride, np.int32) + 1).tolist())
     sen = sentinel(grid_dhw)
     offs = _offsets(tuple(int(k) for k in kernel_size))
     K = offs.shape[0]
@@ -590,6 +584,104 @@ def sparse_max_pool3d_b(features, coords, keys_sorted, valid, grid_dhw,
     return out, out_coords, out_keys, out_valid, out_grid, n_unique
 
 
+def downsample_coords_b(coords, valid, grid_dhw, kernel_size, stride,
+                        padding, out_cap, tile: int = 4096):
+    """Batched output-site generation via a dense presence map — replaces
+    the per-example 8N-candidate sort of `downsample_coords` when the OUT
+    grid fits `SECOND_TPU_IDX_MAP_CELLS`.
+
+    Dedup is free (scatter marks each output cell once); compaction uses a
+    TWO-LEVEL cumsum — per-4096-cell tile along the last axis plus a tiny
+    scan over tile totals — instead of one multi-million-element scan (the
+    single long cumsum is what made the dense-rank path lose on-chip).
+    Capacity overflow keeps the same rank-stratified subset as
+    `downsample_coords`. Returns (out_coords [B, M, 3], out_valid [B, M],
+    out_keys [B, M], out_grid, n_unique [B]).
+    """
+    kernel_size = np.array(kernel_size, np.int32)
+    stride = np.array(stride, np.int32)
+    padding = np.array(padding, np.int32)
+    grid = np.array(grid_dhw, np.int32)
+    out_grid = tuple(((grid + 2 * padding - kernel_size) // stride + 1
+                      ).tolist())
+    out_sen = sentinel(out_grid)
+    B = coords.shape[0]
+    cells = out_sen
+    while cells % tile:
+        tile //= 2
+    T = cells // tile
+
+    reps = [int(-(-int(k) // int(s))) for k, s in zip(kernel_size, stride)]
+    cprime = coords + padding
+    base = cprime // stride
+    rem = cprime % stride
+    cand = []
+    for j in itertools.product(*(range(r) for r in reps)):
+        jv = np.array(j, np.int32)
+        oc = base - jv
+        tap_ok = ((rem + jv * stride) < kernel_size).all(-1)
+        inb = ((oc >= 0) & (oc < np.array(out_grid, np.int32))).all(-1)
+        good = tap_ok & inb & valid
+        cand.append(jnp.where(good, linearize(oc, out_grid), cells))
+    ck = jnp.concatenate(cand, axis=1)                  # [B, R*N]
+
+    off = (jnp.arange(B, dtype=jnp.int32) * cells)[:, None]
+    tgt = jnp.where(ck < cells, ck + off, B * cells)    # invalid → dropped
+    pres = jnp.zeros((B * cells,), jnp.int32).at[
+        tgt.reshape(-1)].set(1, mode="drop")
+    pres = pres.reshape(B, T, tile)
+    within = jnp.cumsum(pres, axis=-1)                  # [B, T, tile]
+    tile_tot = within[..., -1]                          # [B, T]
+    tile_off = jnp.cumsum(tile_tot, axis=-1) - tile_tot
+    rank = (within - pres + tile_off[..., None]).reshape(B, cells)
+    n_uni = tile_tot.sum(-1).astype(jnp.int32)          # [B]
+
+    # rank-stratified slot under overflow (see downsample_coords)
+    ncl = jnp.maximum(n_uni, 1)[:, None]
+    pres_flat = pres.reshape(B, cells) > 0
+    slot = jnp.where(n_uni[:, None] > out_cap,
+                     (rank * out_cap) // ncl, rank).astype(jnp.int32)
+    cell_key = jnp.broadcast_to(jnp.arange(cells, dtype=jnp.int32)[None],
+                                (B, cells))
+    soff = (jnp.arange(B, dtype=jnp.int32) * out_cap)[:, None]
+    starget = jnp.where(pres_flat & (slot < out_cap), slot + soff,
+                        B * out_cap)
+    kept = jnp.zeros((B * out_cap,), jnp.int32).at[
+        starget.reshape(-1)].max(cell_key.reshape(-1), mode="drop")
+    kept = kept.reshape(B, out_cap)
+    n_slots = jnp.minimum(n_uni, out_cap)[:, None]
+    out_valid = jnp.arange(out_cap)[None, :] < n_slots
+    out_keys = jnp.where(out_valid, kept, out_sen)
+    D, H, W = out_grid
+    oz = out_keys // (H * W)
+    oy = (out_keys // W) % H
+    ox = out_keys % W
+    out_coords = jnp.where(out_valid[..., None],
+                           jnp.stack([oz, oy, ox], -1).astype(jnp.int32), 0)
+    return out_coords, out_valid, out_keys, out_grid, n_uni
+
+
+def _gen_output_sites_b(coords, valid, grid_dhw, kernel_size, stride,
+                        padding, out_cap):
+    """Route output-site generation: dense presence map when the out grid
+    fits IDX_MAP_MAX_CELLS, else the per-example sort path (vmapped)."""
+    kernel_np = np.array(kernel_size, np.int32)
+    grid = np.array(grid_dhw, np.int32)
+    out_grid = tuple(((grid + 2 * np.array(padding, np.int32) - kernel_np)
+                      // np.array(stride, np.int32) + 1).tolist())
+    if 0 < sentinel(out_grid) <= IDX_MAP_MAX_CELLS:
+        oc, ov, ok, og, nu = downsample_coords_b(
+            coords, valid, grid_dhw, kernel_size, stride, padding, out_cap)
+        return oc, ov, ok, nu, og
+
+    def gen(c, v):
+        oc, ov, ok, og, nu = downsample_coords(c, v, grid_dhw, kernel_size,
+                                               stride, padding, out_cap)
+        return oc, ov, ok, nu
+    oc, ov, ok, nu = jax.vmap(gen)(coords, valid)
+    return oc, ov, ok, nu, out_grid
+
+
 def sparse_conv3d_b(features, coords, keys_sorted, valid, grid_dhw, weights,
                     kernel_size, stride, padding, out_cap, bias=None,
                     idx_map=None):
@@ -600,15 +692,9 @@ def sparse_conv3d_b(features, coords, keys_sorted, valid, grid_dhw, weights,
 
     Returns (out [B, M, Cout], out_coords [B, M, 3], out_keys [B, M],
     out_valid [B, M], out_grid, n_unique [B])."""
-    def gen(c, v):
-        oc, ov, ok, og, nu = downsample_coords(c, v, grid_dhw, kernel_size,
-                                               stride, padding, out_cap)
-        return oc, ov, ok, nu
-    out_coords, out_valid, out_keys, n_unique = jax.vmap(gen)(coords, valid)
-    grid = np.array(grid_dhw, np.int32)
-    out_grid = tuple(((grid + 2 * np.array(padding, np.int32)
-                       - np.array(kernel_size, np.int32))
-                      // np.array(stride, np.int32) + 1).tolist())
+    out_coords, out_valid, out_keys, n_unique, out_grid = \
+        _gen_output_sites_b(coords, valid, grid_dhw, kernel_size, stride,
+                            padding, out_cap)
     base = out_coords * np.array(stride, np.int32) - np.array(padding,
                                                               np.int32)
     rulebook = build_rulebook_b(keys_sorted, base, out_valid, grid_dhw,

@@ -454,6 +454,28 @@ class TestBatchedVariants:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-6, atol=1e-6)
 
+    @pytest.mark.parametrize("out_cap", [128, 16])
+    def test_downsample_coords_b_matches_vmapped(self, out_cap):
+        """The dense-presence-map batched output-site generator equals the
+        per-example sort path bit-for-bit, with and without capacity
+        overflow (rank-stratified drop in both)."""
+        rng = np.random.default_rng(23)
+        grid = (6, 8, 10)
+        coords, feats, valid, keys = self._batch(rng, grid, 96, 3, B=2)
+        kernel, stride, padding = (3, 3, 3), (2, 2, 2), (1, 1, 1)
+
+        def gen(c, v):
+            oc, ov, ok, og, nu = sp.downsample_coords(
+                c, v, grid, kernel, stride, padding, out_cap)
+            return oc, ov, ok, nu
+        r_oc, r_ov, r_ok, r_nu = jax.vmap(gen)(coords, valid)
+        g_oc, g_ov, g_ok, og, g_nu = sp.downsample_coords_b(
+            coords, valid, grid, kernel, stride, padding, out_cap, tile=16)
+        np.testing.assert_array_equal(np.asarray(g_nu), np.asarray(r_nu))
+        np.testing.assert_array_equal(np.asarray(g_ov), np.asarray(r_ov))
+        np.testing.assert_array_equal(np.asarray(g_ok), np.asarray(r_ok))
+        np.testing.assert_array_equal(np.asarray(g_oc), np.asarray(r_oc))
+
     def test_sparse_max_pool3d_b_matches_vmapped(self):
         rng = np.random.default_rng(11)
         grid = (6, 8, 10)
