@@ -117,6 +117,9 @@ def main():
                       lambda c2, v2: sp.downsample_coords(
                           c2, v2, grid, *down, out_cap)[:3])(co, v),
                   coords, valid)
+            timed(f"s{si} downsample_coords_b (map)",
+                  lambda co, v: sp.downsample_coords_b(
+                      co, v, grid, *down, out_cap)[:3], coords, valid)
 
 
 if __name__ == "__main__":
