@@ -94,6 +94,15 @@ def main():
         timed(f"s{si} map scatter alone",
               lambda k, v: sp.dense_index_map_b(k, v, cells), keys, valid)
 
+        def hybrid_build(co, k, v):
+            imap = sp.dense_index_map_b(k, v, cells)
+            idx, fnd = sp.taps_rulebook_map_b(imap, co - 1, v, grid,
+                                              (3, 3, 3))
+            return sp.taps_to_window_rulebook(idx, fnd, (3, 3, 3),
+                                              k.shape[1])
+        timed(f"s{si} hybrid build (map->window)", hybrid_build,
+              coords, keys, valid)
+
         rb_win = sp.gather_rulebook_b(keys, coords - 1, valid, grid,
                                       (3, 3, 3))
         rb_tap = map_build(coords, keys, valid)

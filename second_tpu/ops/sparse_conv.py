@@ -363,6 +363,36 @@ def stage_index_map_b(keys_sorted, grid_dhw):
     return dense_index_map_b(keys_sorted, keys_sorted < sen, sen)
 
 
+def taps_to_window_rulebook(tap_idx, found, kernel_size, n_rows):
+    """Convert per-tap exact row indices into the window (safe, sel) form
+    so the APPLY keeps its wide per-plane gathers (one [Q, kx*C] row gather
+    per (dz, dy) plane) instead of K narrow ones.
+
+    Valid because x-neighbor keys are consecutive integers: within a
+    (dz, dy) plane, found taps occupy CONSECUTIVE sorted rows starting at
+    the first found tap, so safe = min found idx and tap j sits at window
+    row (idx_j - safe). tap_idx/found: [B, K, Q] in itertools.product
+    order. Returns (safe [B, G, Q], sel [B, K, Q, kx])."""
+    kz, ky, kx = (int(k) for k in kernel_size)
+    B, K, Q = tap_idx.shape
+    G = kz * ky
+    idx_g = tap_idx.reshape(B, G, kx, Q)
+    fnd_g = found.reshape(B, G, kx, Q)
+    big = jnp.where(fnd_g, idx_g, n_rows)
+    safe = jnp.clip(big.min(axis=2), 0, n_rows - 1)         # [B, G, Q]
+    sel = (fnd_g[..., None] &
+           (idx_g[..., None] ==
+            safe[:, :, None, :, None] +
+            jnp.arange(kx, dtype=tap_idx.dtype)))           # [B,G,kx,Q,kx]
+    return safe, sel.reshape(B, K, Q, kx)
+
+
+# Build rulebooks through the dense index map but apply through the wide
+# window gathers (hybrid): narrow map lookups replace the one-hot rank
+# matmuls at build time only.
+IDX_MAP_WINDOW = os.environ.get("SECOND_TPU_IDX_MAP_WINDOW") == "1"
+
+
 def build_rulebook_b(keys_sorted, base_coords, base_valid, grid_dhw,
                      kernel_size, idx_map=None):
     """Route a rulebook build: dense index map for small-enough grids
@@ -370,15 +400,19 @@ def build_rulebook_b(keys_sorted, base_coords, base_valid, grid_dhw,
     Returns a tagged tuple ("tap", idx, found) or ("win", safe, sel);
     `subm_conv3d_b` / `sparse_conv3d_b` apply either. Pass `idx_map`
     (from `dense_index_map_b`) to share one map across the stage's subm
-    and strided builds."""
+    and strided builds. SECOND_TPU_IDX_MAP_WINDOW=1 converts map-built
+    rulebooks to window form (map build + wide-gather apply)."""
     sen = sentinel(grid_dhw)
     if idx_map is not None or 0 < sen <= IDX_MAP_MAX_CELLS:
         if idx_map is None:
             idx_map = dense_index_map_b(keys_sorted,
                                         keys_sorted < sen, sen)
-        return ("tap",) + taps_rulebook_map_b(idx_map, base_coords,
-                                              base_valid, grid_dhw,
-                                              kernel_size)
+        idx, found = taps_rulebook_map_b(idx_map, base_coords, base_valid,
+                                         grid_dhw, kernel_size)
+        if IDX_MAP_WINDOW:
+            return ("win",) + taps_to_window_rulebook(
+                idx, found, kernel_size, keys_sorted.shape[1])
+        return ("tap", idx, found)
     return ("win",) + gather_rulebook_b(keys_sorted, base_coords, base_valid,
                                         grid_dhw, kernel_size)
 

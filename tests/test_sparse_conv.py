@@ -411,6 +411,33 @@ class TestBatchedVariants:
                                 rulebook=rb)
         np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref))
 
+    def test_idx_map_window_hybrid_equivalent(self, monkeypatch):
+        """Map-built rulebooks converted to window form (map build +
+        wide-gather apply, SECOND_TPU_IDX_MAP_WINDOW=1) match both the
+        default window path and the pure tap path bit-for-bit."""
+        rng = np.random.default_rng(24)
+        grid = (5, 10, 12)
+        coords, feats, valid, keys = self._batch(rng, grid, 64, 5, B=2)
+        w = jnp.asarray(rng.normal(0, 0.3, (27, 5, 6)).astype(np.float32))
+        ref = sp.subm_conv3d_b(feats, coords, keys, valid, grid, w)
+        monkeypatch.setattr(sp, "IDX_MAP_MAX_CELLS", int(np.prod(grid)))
+        monkeypatch.setattr(sp, "IDX_MAP_WINDOW", True)
+        rb = sp.subm_rulebook_b(coords, keys, valid, grid)
+        assert rb[0] == "win"
+        got = sp.subm_conv3d_b(feats, coords, keys, valid, grid, w,
+                               rulebook=rb)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        # strided conv through the hybrid too
+        args = (feats, coords, keys, valid, grid, w,
+                (3, 3, 3), (2, 2, 2), (1, 1, 1), 64)
+        ref2 = None
+        monkeypatch.setattr(sp, "IDX_MAP_MAX_CELLS", 0)
+        ref2 = sp.sparse_conv3d_b(*args)
+        monkeypatch.setattr(sp, "IDX_MAP_MAX_CELLS", int(np.prod(grid)))
+        got2 = sp.sparse_conv3d_b(*args)
+        for a, b in zip(got2, ref2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_sparse_conv3d_b_idx_map_flag_equivalent(self, monkeypatch):
         """Strided conv under the dense-index-map flag (with and without a
         shared stage map) matches the default window path."""
