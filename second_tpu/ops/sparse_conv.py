@@ -392,6 +392,29 @@ def taps_to_window_rulebook(tap_idx, found, kernel_size, n_rows):
 # matmuls at build time only.
 IDX_MAP_WINDOW = os.environ.get("SECOND_TPU_IDX_MAP_WINDOW") == "1"
 
+# Convert window rulebooks to tap form after the build: the apply then
+# runs K narrow per-tap row gathers instead of kz*ky wide window gathers
+# and the sel-mask where-chain. Measured FASTER on-chip at the early fhd
+# stages (s0: ~7 vs ~17 ms real per conv) — the feature table (cap x C)
+# is small enough to stay cache-resident, so narrow gathers fly; the wide
+# path's kx-shifted channel concat + sel selection moves more bytes.
+TAP_APPLY = os.environ.get("SECOND_TPU_TAP_APPLY") == "1"
+
+
+def window_to_taps_rulebook(safe, sel):
+    """Exact per-tap row indices from a window rulebook: tap k of query q
+    is window row argmax_i sel[k, q, i] (at most one true), i.e.
+    idx = safe[g] + i with g = k // kx. Returns (tap_idx [B, K, Q],
+    found [B, K, Q])."""
+    B, K, Q, kx = sel.shape
+    G = safe.shape[1]
+    row = sel.argmax(-1).astype(safe.dtype)                 # [B, K, Q]
+    found = sel.any(-1)
+    g = jnp.arange(K, dtype=jnp.int32) // kx                # [K]
+    base = jnp.take(safe, g, axis=1)                        # [B, K, Q]
+    idx = jnp.where(found, base + row, 0)
+    return idx, found
+
 
 def build_rulebook_b(keys_sorted, base_coords, base_valid, grid_dhw,
                      kernel_size, idx_map=None):
@@ -413,8 +436,11 @@ def build_rulebook_b(keys_sorted, base_coords, base_valid, grid_dhw,
             return ("win",) + taps_to_window_rulebook(
                 idx, found, kernel_size, keys_sorted.shape[1])
         return ("tap", idx, found)
-    return ("win",) + gather_rulebook_b(keys_sorted, base_coords, base_valid,
-                                        grid_dhw, kernel_size)
+    safe, sel = gather_rulebook_b(keys_sorted, base_coords, base_valid,
+                                  grid_dhw, kernel_size)
+    if TAP_APPLY:
+        return ("tap",) + window_to_taps_rulebook(safe, sel)
+    return ("win", safe, sel)
 
 
 def apply_rulebook_b(features, rulebook):

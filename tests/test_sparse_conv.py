@@ -411,6 +411,28 @@ class TestBatchedVariants:
                                 rulebook=rb)
         np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref))
 
+    def test_tap_apply_flag_equivalent(self, monkeypatch):
+        """Window build + tap apply (SECOND_TPU_TAP_APPLY=1: per-tap exact
+        indices derived from the window rulebook) matches the default
+        bit-for-bit for subm and strided convs, full module included."""
+        rng = np.random.default_rng(25)
+        grid = (5, 10, 12)
+        coords, feats, valid, keys = self._batch(rng, grid, 64, 5, B=2)
+        w = jnp.asarray(rng.normal(0, 0.3, (27, 5, 6)).astype(np.float32))
+        ref = sp.subm_conv3d_b(feats, coords, keys, valid, grid, w)
+        sargs = (feats, coords, keys, valid, grid, w,
+                 (3, 3, 3), (2, 2, 2), (1, 1, 1), 64)
+        sref = sp.sparse_conv3d_b(*sargs)
+        monkeypatch.setattr(sp, "TAP_APPLY", True)
+        rb = sp.subm_rulebook_b(coords, keys, valid, grid)
+        assert rb[0] == "tap"
+        got = sp.subm_conv3d_b(feats, coords, keys, valid, grid, w,
+                               rulebook=rb)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        sgot = sp.sparse_conv3d_b(*sargs)
+        for a, b in zip(sgot, sref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_idx_map_window_hybrid_equivalent(self, monkeypatch):
         """Map-built rulebooks converted to window form (map build +
         wide-gather apply, SECOND_TPU_IDX_MAP_WINDOW=1) match both the
