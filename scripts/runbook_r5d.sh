@@ -1,0 +1,21 @@
+#!/bin/bash
+# Round-5 runbook part D: tap-apply A/B + stage-composite attribution on
+# the final round-5 code. Serial TPU work; never kill a step.
+set -x
+cd /root/repo
+mkdir -p /tmp/rb5
+S="bash scripts/rb_summarize_r5.sh"
+
+# 1. re-land base on current code (default path refactors since r5a)
+python bench.py > /tmp/rb5/bench_base2.log 2>&1; $S
+
+# 2. the tap-apply candidate
+SECOND_TPU_TAP_APPLY=1 python bench.py > /tmp/rb5/bench_tapapply.log 2>&1; $S
+
+# 3. stage-composite timing (locates the unattributed middle time)
+BENCH_ITERS=10 python scripts/bench_middle_stages.py \
+  > /tmp/rb5/middle_stages.log 2>&1; $S
+SECOND_TPU_TAP_APPLY=1 BENCH_ITERS=10 python scripts/bench_middle_stages.py \
+  > /tmp/rb5/middle_stages_tap.log 2>&1; $S
+
+echo "runbook_r5d done $(date -u +%FT%TZ)" >> /tmp/rb5/done_d.marker
