@@ -129,6 +129,30 @@ def main():
                       ).tolist())
     print(f"{'TOTAL middle (stages only)':30s}: {total*1e3:8.2f} ms")
 
+    # the pieces outside the stage composites: initial key sort (the
+    # voxelizer emits hash-shuffle order) and the final densify scatter
+    grid0 = GRID0
+    cs, ks, vs = zip(*(make_active(np.random.default_rng(i), OCC[0],
+                                   CAPS[0], grid0) for i in range(B)))
+    coords0, valid0 = jnp.stack(cs), jnp.stack(vs)
+    f0 = jnp.asarray(np.random.default_rng(9).normal(
+        0, 1, (B, CAPS[0], 4)), jnp.bfloat16)
+    from second_tpu.ops.sparse_conv import densify, sort_active
+    timed("sort_active (initial)",
+          lambda c, f, v: jax.vmap(
+              lambda c2, f2, v2: sort_active(c2, f2, v2, grid0))(c, f, v),
+          coords0, f0, valid0)
+    gridf = (2, 200, 176)
+    csf, ksf, vsf = zip(*(make_active(np.random.default_rng(i), OCC[3],
+                                      CAPS[3], gridf) for i in range(B)))
+    coordsf, validf = jnp.stack(csf), jnp.stack(vsf)
+    ff = jnp.asarray(np.random.default_rng(10).normal(
+        0, 1, (B, CAPS[3], 64)), jnp.bfloat16)
+    timed("densify (final scatter)",
+          lambda f, c, v: jax.vmap(
+              lambda f2, c2, v2: densify(f2, c2, v2, gridf))(f, c, v),
+          ff, coordsf, validf)
+
 
 if __name__ == "__main__":
     main()
