@@ -12,6 +12,11 @@ python bench.py > /tmp/rb5/bench_base2.log 2>&1; $S
 # 2. the tap-apply candidate
 SECOND_TPU_TAP_APPLY=1 python bench.py > /tmp/rb5/bench_tapapply.log 2>&1; $S
 
+# 2b. three-level compare/gather rank build
+SECOND_TPU_GATHER_RANK=1 python bench.py > /tmp/rb5/bench_gatherrank.log 2>&1; $S
+SECOND_TPU_GATHER_RANK=1 SECOND_TPU_TAP_APPLY=1 \
+  python bench.py > /tmp/rb5/bench_gr_tap.log 2>&1; $S
+
 # 3. stage-composite timing (locates the unattributed middle time)
 BENCH_ITERS=10 python scripts/bench_middle_stages.py \
   > /tmp/rb5/middle_stages.log 2>&1; $S

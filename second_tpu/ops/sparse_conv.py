@@ -476,13 +476,58 @@ def _dense_rank_b(keys_sorted, query_keys, n_cells: int):
                      ranks).astype(jnp.int32)
 
 
+# Resolve ranks with a three-level compare/gather scheme instead of the
+# one-hot bucket matmuls: pivot compare (VPU), a 64B mid-pivot row gather,
+# and a 32B mini-bucket row gather — both gathers hit tables well under
+# the ~1 MB cache-resident regime where narrow TPU gathers are fast
+# (idxmap_attrib: small-table narrow gathers fly; big-map ones crawl).
+GATHER_RANK = os.environ.get("SECOND_TPU_GATHER_RANK") == "1"
+
+
+def lookup_rank_gather_b(keys_sorted, query_keys, block: int = 128,
+                         sub: int = 8):
+    """Three-level rank lookup: rank[b, ...] = #{keys of b < query}.
+
+    Level 1 compares against the nb = N/block bucket pivots (pure VPU);
+    level 2 gathers each query's `block/sub` mid-pivots (one [ns*4]-byte
+    row from a [nb, ns] table) and compares; level 3 gathers the final
+    `sub`-key mini bucket and counts. Exactly equals `lookup_rank_b`."""
+    B = keys_sorted.shape[0]
+    N = keys_sorted.shape[1]
+    lead = query_keys.shape[1:-1]
+    while N % block:
+        block //= 2
+    nb = N // block
+    sub = min(sub, block)
+    while block % sub:
+        sub //= 2
+    ns = block // sub
+    q = query_keys.reshape(B, -1)                           # [B, GQ]
+    pivots = keys_sorted[:, ::block]                        # [B, nb]
+    ge = q[:, :, None] >= pivots[:, None, :]
+    bucket = jnp.clip(ge.sum(-1) - 1, 0, nb - 1).astype(jnp.int32)
+    mid = keys_sorted[:, ::sub].reshape(B, nb, ns)          # [B, nb, ns]
+    midrows = flat_rows(mid, bucket)                        # [B, GQ, ns]
+    ge2 = q[..., None] >= midrows
+    sb = jnp.clip(ge2.sum(-1) - 1, 0, ns - 1).astype(jnp.int32)
+    mini = keys_sorted.reshape(B, N // sub, sub)
+    rows = flat_rows(mini, bucket * ns + sb)                # [B, GQ, sub]
+    rank = (bucket * block + sb * sub +
+            (rows < q[..., None]).sum(-1).astype(jnp.int32))
+    return rank.reshape((B,) + lead + (query_keys.shape[-1],))
+
+
 def lookup_rank_b(keys_sorted, query_keys, block: int = 128,
                   n_cells: int = 0):
     """Batched `lookup_rank`: keys_sorted [B, N], query_keys [B, G, Q] →
     ranks [B, G, Q]. With `n_cells` in (0, DENSE_RANK_MAX_CELLS] the dense
-    cumulative-count path is used (see `_dense_rank_b`)."""
+    cumulative-count path is used (see `_dense_rank_b`);
+    SECOND_TPU_GATHER_RANK=1 routes to the three-level compare/gather
+    scheme (`lookup_rank_gather_b`)."""
     if 0 < n_cells <= DENSE_RANK_MAX_CELLS:
         return _dense_rank_b(keys_sorted, query_keys, n_cells)
+    if GATHER_RANK:
+        return lookup_rank_gather_b(keys_sorted, query_keys, block)
     B, G, Q = query_keys.shape
     N = keys_sorted.shape[1]
     while N % block:

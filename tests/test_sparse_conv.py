@@ -361,6 +361,44 @@ class TestBatchedVariants:
         np.testing.assert_array_equal(np.asarray(dense), np.asarray(ref))
         np.testing.assert_array_equal(np.asarray(bucket), np.asarray(ref))
 
+    def test_lookup_rank_gather_equals_bucket(self):
+        """Three-level compare/gather ranks == bucket-matmul ranks on
+        random keys incl. sentinel and below-range queries, across block
+        and sub sizes."""
+        rng = np.random.default_rng(26)
+        grid = (5, 11, 13)
+        sen = int(np.prod(grid))
+        coords, feats, valid, keys = self._batch(rng, grid, 64, 3, B=2)
+        q = rng.integers(-1, sen + 1, (2, 4, 64)).astype(np.int32)
+        q = jnp.asarray(np.where(q < 0, sen, q))
+        ref = sp.lookup_rank_b(keys, q, n_cells=0)
+        for block in (8, 16, 64):
+            for sub in (2, 4, 8):
+                got = sp.lookup_rank_gather_b(keys, q, block=block, sub=sub)
+                np.testing.assert_array_equal(np.asarray(got),
+                                              np.asarray(ref),
+                                              err_msg=f"{block}/{sub}")
+
+    def test_subm_conv_b_gather_rank_flag_equivalent(self, monkeypatch):
+        """SECOND_TPU_GATHER_RANK routes the whole rulebook build through
+        the compare/gather ranks — conv output bit-identical."""
+        rng = np.random.default_rng(27)
+        grid = (5, 10, 12)
+        coords, feats, valid, keys = self._batch(rng, grid, 64, 5, B=2)
+        w = jnp.asarray(rng.normal(0, 0.3, (27, 5, 6)).astype(np.float32))
+        ref = sp.subm_conv3d_b(feats, coords, keys, valid, grid, w)
+        monkeypatch.setattr(sp, "GATHER_RANK", True)
+        got = sp.subm_conv3d_b(feats, coords, keys, valid, grid, w)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        args = (feats, coords, keys, valid, grid, w,
+                (3, 3, 3), (2, 2, 2), (1, 1, 1), 64)
+        monkeypatch.setattr(sp, "GATHER_RANK", False)
+        ref2 = sp.sparse_conv3d_b(*args)
+        monkeypatch.setattr(sp, "GATHER_RANK", True)
+        got2 = sp.sparse_conv3d_b(*args)
+        for a, b in zip(got2, ref2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_subm_conv_b_dense_rank_flag_equivalent(self, monkeypatch):
         """With SECOND_TPU_DENSE_RANK_CELLS covering the grid, the whole
         batched subm conv (rulebook build through einsum) matches the
