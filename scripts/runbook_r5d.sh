@@ -17,6 +17,11 @@ SECOND_TPU_GATHER_RANK=1 python bench.py > /tmp/rb5/bench_gatherrank.log 2>&1; $
 SECOND_TPU_GATHER_RANK=1 SECOND_TPU_TAP_APPLY=1 \
   python bench.py > /tmp/rb5/bench_gr_tap.log 2>&1; $S
 
+# 2c. refresh per-segment attribution on DEFAULT flags (the r5b leg ran
+#     under the retired idx-map flag and is misleading)
+BENCH_MAX_VOXELS=40000 python scripts/bench_fhd_stages.py \
+  > /tmp/rb5/segments_40k.log 2>&1; $S
+
 # 3. stage-composite timing (locates the unattributed middle time)
 BENCH_ITERS=10 python scripts/bench_middle_stages.py \
   > /tmp/rb5/middle_stages.log 2>&1; $S
