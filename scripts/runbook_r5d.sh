@@ -1,31 +1,34 @@
 #!/bin/bash
-# Round-5 runbook part D: tap-apply A/B + stage-composite attribution on
-# the final round-5 code. Serial TPU work; never kill a step.
+# Round-5 runbook part D: tap-apply / gather-rank A/Bs + stage-composite
+# attribution on the final round-5 code. Serial TPU work; never kill a
+# step. DEADLINE guard: no NEW leg starts after DEADLINE_EPOCH (default
+# 21:55 UTC today) so the chip is free well before the driver's
+# end-of-round bench.
 set -x
 cd /root/repo
 mkdir -p /tmp/rb5
 S="bash scripts/rb_summarize_r5.sh"
+DEADLINE=${DEADLINE_EPOCH:-$(date -u -d "21:55" +%s)}
+ok() { [ "$(date -u +%s)" -lt "$DEADLINE" ]; }
 
 # 1. re-land base on current code (default path refactors since r5a)
-python bench.py > /tmp/rb5/bench_base2.log 2>&1; $S
+ok && { python bench.py > /tmp/rb5/bench_base2.log 2>&1; $S; }
 
 # 2. the tap-apply candidate
-SECOND_TPU_TAP_APPLY=1 python bench.py > /tmp/rb5/bench_tapapply.log 2>&1; $S
+ok && { SECOND_TPU_TAP_APPLY=1 python bench.py > /tmp/rb5/bench_tapapply.log 2>&1; $S; }
 
 # 2b. three-level compare/gather rank build
-SECOND_TPU_GATHER_RANK=1 python bench.py > /tmp/rb5/bench_gatherrank.log 2>&1; $S
-SECOND_TPU_GATHER_RANK=1 SECOND_TPU_TAP_APPLY=1 \
-  python bench.py > /tmp/rb5/bench_gr_tap.log 2>&1; $S
+ok && { SECOND_TPU_GATHER_RANK=1 python bench.py > /tmp/rb5/bench_gatherrank.log 2>&1; $S; }
+ok && { SECOND_TPU_GATHER_RANK=1 SECOND_TPU_TAP_APPLY=1 \
+  python bench.py > /tmp/rb5/bench_gr_tap.log 2>&1; $S; }
 
 # 2c. refresh per-segment attribution on DEFAULT flags (the r5b leg ran
 #     under the retired idx-map flag and is misleading)
-BENCH_MAX_VOXELS=40000 python scripts/bench_fhd_stages.py \
-  > /tmp/rb5/segments_40k.log 2>&1; $S
+ok && { BENCH_MAX_VOXELS=40000 python scripts/bench_fhd_stages.py \
+  > /tmp/rb5/segments_40k.log 2>&1; $S; }
 
 # 3. stage-composite timing (locates the unattributed middle time)
-BENCH_ITERS=10 python scripts/bench_middle_stages.py \
-  > /tmp/rb5/middle_stages.log 2>&1; $S
-SECOND_TPU_TAP_APPLY=1 BENCH_ITERS=10 python scripts/bench_middle_stages.py \
-  > /tmp/rb5/middle_stages_tap.log 2>&1; $S
+ok && { BENCH_ITERS=10 python scripts/bench_middle_stages.py \
+  > /tmp/rb5/middle_stages.log 2>&1; $S; }
 
 echo "runbook_r5d done $(date -u +%FT%TZ)" >> /tmp/rb5/done_d.marker
