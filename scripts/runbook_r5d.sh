@@ -3,7 +3,8 @@
 # attribution on the final round-5 code. Serial TPU work; never kill a
 # step. DEADLINE guard: no NEW leg starts after DEADLINE_EPOCH (default
 # 21:55 UTC today) so the chip is free well before the driver's
-# end-of-round bench.
+# end-of-round bench. Decisive A/B legs FIRST (base ~14.26 is known from
+# r5a); bench_base2 only re-lands the default after refactors.
 set -x
 cd /root/repo
 mkdir -p /tmp/rb5
@@ -11,23 +12,25 @@ S="bash scripts/rb_summarize_r5.sh"
 DEADLINE=${DEADLINE_EPOCH:-$(date -u -d "21:55" +%s)}
 ok() { [ "$(date -u +%s)" -lt "$DEADLINE" ]; }
 
-# 1. re-land base on current code (default path refactors since r5a)
-ok && { python bench.py > /tmp/rb5/bench_base2.log 2>&1; $S; }
-
-# 2. the tap-apply candidate
+# 1. the tap-apply candidate (attribution says faster at s0/s1)
 ok && { SECOND_TPU_TAP_APPLY=1 python bench.py > /tmp/rb5/bench_tapapply.log 2>&1; $S; }
 
-# 2b. three-level compare/gather rank build
-ok && { SECOND_TPU_GATHER_RANK=1 python bench.py > /tmp/rb5/bench_gatherrank.log 2>&1; $S; }
+# 2. gather-rank + tap-apply combined
 ok && { SECOND_TPU_GATHER_RANK=1 SECOND_TPU_TAP_APPLY=1 \
   python bench.py > /tmp/rb5/bench_gr_tap.log 2>&1; $S; }
 
-# 2c. refresh per-segment attribution on DEFAULT flags (the r5b leg ran
-#     under the retired idx-map flag and is misleading)
+# 3. gather-rank alone
+ok && { SECOND_TPU_GATHER_RANK=1 python bench.py > /tmp/rb5/bench_gatherrank.log 2>&1; $S; }
+
+# 4. re-land base on current code (default path refactors since r5a)
+ok && { python bench.py > /tmp/rb5/bench_base2.log 2>&1; $S; }
+
+# 5. refresh per-segment attribution on DEFAULT flags (the r5b leg ran
+#    under the retired idx-map flag and is misleading)
 ok && { BENCH_MAX_VOXELS=40000 python scripts/bench_fhd_stages.py \
   > /tmp/rb5/segments_40k.log 2>&1; $S; }
 
-# 3. stage-composite timing (locates the unattributed middle time)
+# 6. stage-composite timing (locates the unattributed middle time)
 ok && { BENCH_ITERS=10 python scripts/bench_middle_stages.py \
   > /tmp/rb5/middle_stages.log 2>&1; $S; }
 
