@@ -2,14 +2,14 @@
 # Round-5 runbook part D: tap-apply / gather-rank A/Bs + stage-composite
 # attribution on the final round-5 code. Serial TPU work; never kill a
 # step. DEADLINE guard: no NEW leg starts after DEADLINE_EPOCH (default
-# 21:55 UTC today) so the chip is free well before the driver's
+# 22:10 UTC today) so the chip is free well before the driver's
 # end-of-round bench. Decisive A/B legs FIRST (base ~14.26 is known from
 # r5a); bench_base2 only re-lands the default after refactors.
 set -x
 cd /root/repo
 mkdir -p /tmp/rb5
 S="bash scripts/rb_summarize_r5.sh"
-DEADLINE=${DEADLINE_EPOCH:-$(date -u -d "21:55" +%s)}
+DEADLINE=${DEADLINE_EPOCH:-$(date -u -d "22:10" +%s)}
 ok() { [ "$(date -u +%s)" -lt "$DEADLINE" ]; }
 
 # 1. the tap-apply candidate (attribution says faster at s0/s1)
