@@ -12,12 +12,15 @@ S="bash scripts/rb_summarize_r5.sh"
 DEADLINE=${DEADLINE_EPOCH:-$(date -u -d "22:10" +%s)}
 ok() { [ "$(date -u +%s)" -lt "$DEADLINE" ]; }
 
-# 1. the tap-apply candidate (attribution says faster at s0/s1)
-ok && { SECOND_TPU_TAP_APPLY=1 python bench.py > /tmp/rb5/bench_tapapply.log 2>&1; $S; }
-
-# 2. gather-rank + tap-apply combined
+# 1. gather-rank + tap-apply combined — the candidate shipping config.
+#    Only ~one leg fits before the deadline, so run the decision-maker
+#    first: if this beats base (14.26), both defaults flip and the
+#    driver's end-of-round bench reuses this leg's compile cache.
 ok && { SECOND_TPU_GATHER_RANK=1 SECOND_TPU_TAP_APPLY=1 \
   python bench.py > /tmp/rb5/bench_gr_tap.log 2>&1; $S; }
+
+# 2. the tap-apply candidate alone (attribution says faster at s0/s1)
+ok && { SECOND_TPU_TAP_APPLY=1 python bench.py > /tmp/rb5/bench_tapapply.log 2>&1; $S; }
 
 # 3. gather-rank alone
 ok && { SECOND_TPU_GATHER_RANK=1 python bench.py > /tmp/rb5/bench_gatherrank.log 2>&1; $S; }
