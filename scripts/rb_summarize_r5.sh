@@ -2,9 +2,9 @@
 # Collect round-5 runbook results from /tmp/rb5 into a repo file so chip
 # results survive even if no session is watching when they land. Run after
 # EVERY leg (cheap) so a wedge can never zero out the round.
-OUT=/root/repo/RB_RESULTS_r5.md
+OUT=/root/repo/RB_RESULTS_r5d.md
 {
-  echo "# Round-5 hardware runbook results (updated $(date -u +%FT%TZ))"
+  echo "# Round-5 runbook part D results (updated $(date -u +%FT%TZ))"
   echo
   echo "## Bench legs (one JSON line each; fhd e2e fps, vs 20 fps baseline)"
   for f in /tmp/rb5/bench_*.log; do
