@@ -398,7 +398,10 @@ IDX_MAP_WINDOW = os.environ.get("SECOND_TPU_IDX_MAP_WINDOW") == "1"
 # stages (s0: ~7 vs ~17 ms real per conv) — the feature table (cap x C)
 # is small enough to stay cache-resident, so narrow gathers fly; the wide
 # path's kx-shifted channel concat + sel selection moves more bytes.
-TAP_APPLY = os.environ.get("SECOND_TPU_TAP_APPLY") == "1"
+# Round-5 e2e A/B (fhd, 40k eval voxels, batch 4): tap-apply 15.07 fps vs
+# window 14.26 fps; combined with GATHER_RANK it regresses to 13.92 —
+# hence DEFAULT ON (opt out with SECOND_TPU_TAP_APPLY=0), gather-rank off.
+TAP_APPLY = os.environ.get("SECOND_TPU_TAP_APPLY", "1") != "0"
 
 
 def window_to_taps_rulebook(safe, sel):

@@ -597,12 +597,14 @@ class TestPallasFusedSubM:
             cs.append(c), fs.append(f), vs.append(v), ks.append(k)
         return (jnp.stack(cs), jnp.stack(fs), jnp.stack(vs), jnp.stack(ks))
 
-    def test_fused_matches_xla_apply(self):
+    def test_fused_matches_xla_apply(self, monkeypatch):
         from second_tpu.ops.pallas.subm import subm_conv3d_fused_pallas
         rng = np.random.default_rng(31)
         grid = (6, 12, 10)
         coords, feats, valid, keys = self._batch(rng, grid, 64, 5)
         w = jnp.asarray(rng.normal(0, 0.3, (27, 5, 7)).astype(np.float32))
+        # the fused kernel consumes window-format rulebooks only
+        monkeypatch.setattr(sp, "TAP_APPLY", False)
         rb = sp.subm_rulebook_b(coords, keys, valid, grid)
         ref = sp.subm_conv3d_b(feats, coords, keys, valid, grid, w,
                                rulebook=rb)
@@ -644,6 +646,8 @@ class TestPallasFusedSubM:
             lambda f, safe, sel, w, **kw:
                 calls.append(1) or orig(f, safe, sel, w, interpret=True))
         monkeypatch.setenv("SECOND_TPU_PALLAS_SUBM", "1")
+        # the fused route only fires on window-format rulebooks
+        monkeypatch.setattr(sp, "TAP_APPLY", False)
         rng = np.random.default_rng(33)
         grid = (5, 8, 8)
         coords, feats, valid, keys = self._batch(rng, grid, 32, 4, B=2)
@@ -664,6 +668,7 @@ class TestPallasFusedSubM:
             psubm, "subm_conv3d_fused_pallas",
             lambda f, safe, sel, w, **kw: orig(f, safe, sel, w,
                                                interpret=True))
+        monkeypatch.setattr(sp, "TAP_APPLY", False)
         rng = np.random.default_rng(34)
         grid = (6, 8, 10)
         coords, feats, valid, keys = self._batch(rng, grid, 48, 4, B=2)
