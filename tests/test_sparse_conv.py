@@ -450,14 +450,19 @@ class TestBatchedVariants:
         np.testing.assert_array_equal(np.asarray(got2), np.asarray(ref))
 
     def test_tap_apply_flag_equivalent(self, monkeypatch):
-        """Window build + tap apply (SECOND_TPU_TAP_APPLY=1: per-tap exact
-        indices derived from the window rulebook) matches the default
-        bit-for-bit for subm and strided convs, full module included."""
+        """Tap apply (per-tap exact indices derived from the window
+        rulebook — the round-5 shipping DEFAULT) matches the window-format
+        apply bit-for-bit for subm and strided convs, full module included.
+        The window path is forced explicitly for the reference values."""
+        assert sp.TAP_APPLY  # shipping default (15.07 vs 14.26 fps e2e A/B)
         rng = np.random.default_rng(25)
         grid = (5, 10, 12)
         coords, feats, valid, keys = self._batch(rng, grid, 64, 5, B=2)
         w = jnp.asarray(rng.normal(0, 0.3, (27, 5, 6)).astype(np.float32))
+        monkeypatch.setattr(sp, "TAP_APPLY", False)
         ref = sp.subm_conv3d_b(feats, coords, keys, valid, grid, w)
+        rbw = sp.subm_rulebook_b(coords, keys, valid, grid)
+        assert rbw[0] == "win"
         sargs = (feats, coords, keys, valid, grid, w,
                  (3, 3, 3), (2, 2, 2), (1, 1, 1), 64)
         sref = sp.sparse_conv3d_b(*sargs)
